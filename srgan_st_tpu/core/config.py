@@ -1,0 +1,191 @@
+"""Config system.
+
+Mirrors the reference's code-as-config `Config` class and its field groups
+(EXP / DATA / MODEL / SOLVER / SCHEDULER; reference config.py:15-139), the
+criterion registry mutators `add_g_criterion` / `remove_g_criterion`
+(reference config.py:122-131), the TensorBoard provenance dump
+`get_all_params` (reference config.py:133-139), and the `job_index`
+experiment hook (reference main.py:27-30).
+
+Differences from the reference, by design:
+  * criterions are stored as *loss specs* (name -> dict of constructor
+    kwargs), not live module objects — losses are pure functions built once
+    per train step by `srgan_st_tpu.losses.build_criterions`.
+  * device fields are JAX meshes/shardings, not a "cuda:0" string.
+  * scheduler milestones are an explicit config field (the reference
+    hard-codes `milestones=[10]` in train.py:78-87 and ignores
+    SCHEDULER.STEP_SIZE; we default to [10] and make it configurable).
+"""
+
+from __future__ import annotations
+
+import os
+
+
+class dotdict(dict):
+    """dict with attribute access, so config groups read like the reference's."""
+
+    __getattr__ = dict.__getitem__
+    __setattr__ = dict.__setitem__
+    __delattr__ = dict.__delitem__
+    __dir__ = dict.keys
+    __repr__ = dict.__repr__
+
+    def copy(self) -> "dotdict":
+        return dotdict({k: (v.copy() if isinstance(v, dict) else v) for k, v in self.items()})
+
+
+def get_jobindex(fallback: int = 0) -> int:
+    """Job index set by the cluster scheduler (reference main.py:27-30)."""
+    num = os.getenv("job_index")
+    return int(num) if num else fallback
+
+
+class Config:
+    """Experiment configuration. Instances are independent and mutable."""
+
+    def __init__(self) -> None:
+        # ------------------------------------------------------------------
+        # Experiment (reference config.py:19-24)
+        self.EXP = dotdict()
+        self.EXP.NAME = "experiment-name"   # experiment name; output dirs are keyed by this
+        self.EXP.START_EPOCH = 0            # resume epoch (0 = fresh start)
+        self.EXP.N_EPOCHS = 40              # number of training epochs
+        self.EXP.LABEL_SMOOTHING = 0.1      # one-sided label smoothing: real label = 1 - s
+
+        # Logging periods (reference config.py:27-30)
+        self.LOG_TRAIN_PERIOD = 100         # batches between train-loss log lines
+        self.LOG_VALIDATION_PERIOD = 1      # epochs between validation log lines
+        self.D_CHECKPOINT_INTERVAL = 100    # epochs between periodic D snapshots
+        self.G_CHECKPOINT_INTERVAL = 100    # epochs between periodic G snapshots
+
+        # ------------------------------------------------------------------
+        # Data (reference config.py:33-42)
+        self.DATA = dotdict()
+        self.DATA.TRAIN_GT_IMAGES_DIR = "data/train"
+        self.DATA.TEST_SET = "Set5"
+        self.DATA.TEST_GT_IMAGES_DIR = f"data/{self.DATA.TEST_SET}/GTmod12"
+        self.DATA.TEST_LR_IMAGES_DIR = f"data/{self.DATA.TEST_SET}/LRbicx4"
+        self.DATA.TEST_SR_IMAGES_DIR = "results/_test"
+        self.DATA.SEED = 0
+        self.DATA.UPSCALE_FACTOR = 4
+        self.DATA.BATCH_SIZE = 16           # *global* batch size (sharded over the data mesh axis)
+        self.DATA.GT_IMAGE_SIZE = 96
+        # TPU additions (no reference equivalent): the input pipeline.
+        self.DATA.SYNTHETIC = False         # use an on-device synthetic dataset (tests/bench)
+        self.DATA.PREFETCH = 2              # host->device prefetch depth
+        self.DATA.AUGMENT = False           # random flip/rot90 augmentation (reference has none)
+        self.DATA.NUM_WORKERS = 4           # decode worker threads
+
+        # ------------------------------------------------------------------
+        # Model (reference config.py:45-96)
+        self.MODEL = dotdict()
+        self.MODEL.G_CONTINUE_FROM_WARMUP = False
+        self.MODEL.G_WARMUP_WEIGHTS = ""
+        self.MODEL.D_CONTINUE_FROM_WARMUP = False
+        self.MODEL.D_WARMUP_WEIGHTS = ""
+
+        self.MODEL.G_IN_CHANNEL = 3
+        self.MODEL.G_OUT_CHANNEL = 3
+        self.MODEL.G_N_CHANNEL = 64
+        self.MODEL.G_N_RCB = 16
+
+        self.MODEL.G_LOSS = dotdict()
+        # VGG19 tap points and weights used by ContentLossVGG
+        # (reference config.py:60-64; torchvision node "features.17" == our
+        # named tap "relu3_4" etc., see srgan_st_tpu/models/vgg.py).
+        self.MODEL.G_LOSS.VGG19_LAYERS = {
+            "features.17": 1 / 8,
+            "features.26": 1 / 4,
+            "features.35": 1 / 2,
+        }
+        # Discriminator tap points for ContentLossDiscriminator
+        # (reference config.py:66-69).
+        self.MODEL.G_LOSS.DISC_FEATURES_LOSS_LAYERS = {
+            "features.4": 1 / 4,
+            "features.10": 1 / 2,
+        }
+        # Generator criterions: name -> spec dict ({"kind": ..., **kwargs}).
+        # Default matches the reference: adversarial only (config.py:71-73).
+        self.MODEL.G_LOSS.CRITERIONS = {
+            "Adversarial": {"kind": "adversarial"},
+        }
+        self.MODEL.G_LOSS.CRITERION_WEIGHTS = {
+            "Adversarial": 0.001,
+            "ContentVGG": 1.0,
+            "ContentDiscriminator": 2000.0,
+            "Pixel": 1.0,
+            "BestBuddy": 50.0,
+            "Gram": 500.0,
+            "PatchwiseST": 100.0,
+            "ST": 1 / 3,
+        }
+        # Warmup criterions (reference config.py:88-93): pixel MSE only.
+        self.MODEL.G_LOSS.WARMUP_CRITERIONS = {
+            "Pixel": {"kind": "pixel", "criterion": "mse"},
+        }
+        self.MODEL.G_LOSS.WARMUP_WEIGHTS = {"Pixel": 1.0}
+        # Path to converted VGG19 IMAGENET1K_V1 weights (see tools/convert_vgg19.py).
+        self.MODEL.G_LOSS.VGG19_WEIGHTS = "weights/vgg19_imagenet.npz"
+        # Path to pretrained D weights for ContentLossDiscriminator (the
+        # reference instantiates a *fresh random* D unless loaded, loss.py:263).
+        self.MODEL.G_LOSS.DISC_FEATURES_WEIGHTS = ""
+
+        self.MODEL.D_IN_CHANNEL = 3
+        self.MODEL.D_OUT_CHANNEL = 1
+        self.MODEL.D_N_CHANNEL = 64
+
+        # ------------------------------------------------------------------
+        # Solver (reference config.py:99-114)
+        self.SOLVER = dotdict()
+        self.SOLVER.D_UPDATE_INTERVAL = 100
+        self.SOLVER.D_OPTIMIZER = "Adam"
+        self.SOLVER.D_BASE_LR = 1e-4
+        self.SOLVER.D_BETA1 = 0.9
+        self.SOLVER.D_BETA2 = 0.999
+        self.SOLVER.D_WEIGHT_DECAY = 0.0
+        self.SOLVER.D_EPS = 1e-4
+        self.SOLVER.G_OPTIMIZER = "Adam"
+        self.SOLVER.G_BASE_LR = 1e-4
+        self.SOLVER.G_BETA1 = 0.9
+        self.SOLVER.G_BETA2 = 0.999
+        self.SOLVER.G_WEIGHT_DECAY = 0.0
+        self.SOLVER.G_EPS = 1e-4
+
+        # ------------------------------------------------------------------
+        # Scheduler (reference config.py:117-119; milestones hard-coded to
+        # [10] by the reference's train.py:78-87).
+        self.SCHEDULER = dotdict()
+        self.SCHEDULER.MILESTONES = [10]    # epochs at which LR is multiplied by GAMMA
+        self.SCHEDULER.GAMMA = 0.5
+
+        # ------------------------------------------------------------------
+        # TPU execution (no reference equivalent; replaces DEVICE="cuda:0").
+        self.TPU = dotdict()
+        self.TPU.MESH_SHAPE = None          # None -> 1-D ('data',) mesh over all devices
+        self.TPU.MESH_AXES = ("data",)
+        self.TPU.COMPUTE_DTYPE = "float32"  # "bfloat16" for mixed-precision conv compute
+        self.TPU.DONATE = True              # donate state buffers in jitted steps
+        self.TPU.REMAT = False              # jax.checkpoint the generator trunk
+
+    # ----------------------------------------------------------------------
+    # Criterion registry mutators (reference config.py:122-131)
+    def add_g_criterion(self, name: str, spec: dict, weight: float = 1.0) -> None:
+        """Add a generator criterion spec; see srgan_st_tpu.losses for kinds."""
+        self.MODEL.G_LOSS.CRITERIONS[name] = spec
+        self.MODEL.G_LOSS.CRITERION_WEIGHTS[name] = weight
+
+    def remove_g_criterion(self, name: str) -> None:
+        if name in self.MODEL.G_LOSS.CRITERIONS:
+            del self.MODEL.G_LOSS.CRITERIONS[name]
+            del self.MODEL.G_LOSS.CRITERION_WEIGHTS[name]
+
+    def get_all_params(self) -> str:
+        """Stringify every config group for experiment provenance logging
+        (reference config.py:133-139)."""
+        params = [
+            getattr(self, attr)
+            for attr in sorted(dir(self))
+            if not callable(getattr(self, attr)) and not attr.startswith("__")
+        ]
+        return str(params)

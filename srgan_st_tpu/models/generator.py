@@ -1,0 +1,148 @@
+"""SRResNet generator (the SRGAN paper generator).
+
+Architecture parity with reference model.py:74-184: 9x9 conv + PReLU head,
+`G_N_RCB` residual conv blocks (conv3x3-BN-PReLU-conv3x3-BN + identity), a
+3x3 conv + BN fusion layer, global skip-add back to the head activations,
+log2(upscale) sub-pixel upsample blocks (conv3x3 to channels*r^2 +
+pixel-shuffle + PReLU), a 9x9 reconstruction conv, and a final clamp to
+[0, 1]. Kaiming-normal conv init, zero bias, BN scale 1 (model.py:130-136).
+Parameter count at the default config: 1,547,350 (model.py:193).
+
+TPU-native differences:
+  * NHWC layout; pixel-shuffle is a reshape/transpose XLA fuses into the
+    convolutions.
+  * BatchNorm uses flax BatchNorm with an optional `axis_name` so batch
+    statistics are computed across the data mesh axis (sync-BN semantics —
+    matches the reference's single-device global-batch statistics when the
+    batch is sharded; SURVEY.md §7 "hard parts").
+  * the x3 upsample path is correct here (conv to channels*9 + depth-to-
+    space(3)); the reference's is latently broken (model.py:159-160
+    hard-codes PixelShuffle(2) while the conv emits r^2 channels).
+  * optional bfloat16 compute dtype and remat of the trunk.
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax.numpy as jnp
+import flax.linen as nn
+
+from srgan_st_tpu.models.common import PReLU, kaiming_normal, pixel_shuffle
+
+
+class ResidualConvBlock(nn.Module):
+    channels: int
+    dtype: jnp.dtype = jnp.float32
+    axis_name: str | None = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        identity = x
+        conv = lambda name: nn.Conv(  # noqa: E731
+            self.channels, (3, 3), padding=1, use_bias=False,
+            kernel_init=kaiming_normal, dtype=self.dtype, name=name,
+        )
+        bn = lambda name: nn.BatchNorm(  # noqa: E731
+            use_running_average=not train, momentum=0.9, epsilon=1e-5,
+            dtype=self.dtype, axis_name=self.axis_name if train else None, name=name,
+        )
+        x = conv("conv1")(x)
+        x = bn("bn1")(x)
+        x = PReLU(name="prelu")(x)
+        x = conv("conv2")(x)
+        x = bn("bn2")(x)
+        return x + identity
+
+
+class UpsampleBlock(nn.Module):
+    channels: int
+    upscale_factor: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        r = self.upscale_factor
+        x = nn.Conv(
+            self.channels * r * r, (3, 3), padding=1,
+            kernel_init=kaiming_normal, bias_init=nn.initializers.zeros,
+            dtype=self.dtype, name="conv",
+        )(x)
+        x = pixel_shuffle(x, r)
+        return PReLU(name="prelu")(x)
+
+
+class Generator(nn.Module):
+    """SRResNet. Input NHWC in [0, 1]; output NHWC in [0, 1]."""
+
+    in_channels: int = 3
+    out_channels: int = 3
+    channels: int = 64
+    num_rcb: int = 16
+    upscale: int = 4
+    dtype: jnp.dtype = jnp.float32
+    axis_name: str | None = None
+    remat: bool = False
+
+    @classmethod
+    def from_config(cls, config, dtype=None, axis_name=None):
+        return cls(
+            in_channels=config.MODEL.G_IN_CHANNEL,
+            out_channels=config.MODEL.G_OUT_CHANNEL,
+            channels=config.MODEL.G_N_CHANNEL,
+            num_rcb=config.MODEL.G_N_RCB,
+            upscale=config.DATA.UPSCALE_FACTOR,
+            dtype=dtype or jnp.dtype(config.TPU.COMPUTE_DTYPE),
+            axis_name=axis_name,
+            remat=config.TPU.REMAT,
+        )
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        x = x.astype(self.dtype)
+
+        # Low-frequency information extraction layer (model.py:100-103)
+        x = nn.Conv(
+            self.channels, (9, 9), padding=4, kernel_init=kaiming_normal,
+            bias_init=nn.initializers.zeros, dtype=self.dtype, name="conv1",
+        )(x)
+        conv1 = PReLU(name="prelu1")(x)
+
+        # High-frequency trunk (model.py:106-109)
+        block = ResidualConvBlock
+        if self.remat:
+            block = nn.remat(ResidualConvBlock, static_argnums=(2,))
+        x = conv1
+        for i in range(self.num_rcb):
+            x = block(
+                self.channels, dtype=self.dtype, axis_name=self.axis_name,
+                name=f"rcb{i}",
+            )(x, train)
+
+        # Linear fusion layer + global skip (model.py:112-115, 143-146)
+        x = nn.Conv(
+            self.channels, (3, 3), padding=1, use_bias=False,
+            kernel_init=kaiming_normal, dtype=self.dtype, name="conv2",
+        )(x)
+        x = nn.BatchNorm(
+            use_running_average=not train, momentum=0.9, epsilon=1e-5,
+            dtype=self.dtype, axis_name=self.axis_name if train else None,
+            name="bn2",
+        )(x)
+        x = x + conv1
+
+        # Sub-pixel zoom blocks (model.py:118-124)
+        if self.upscale in (2, 4, 8):
+            for i in range(int(math.log2(self.upscale))):
+                x = UpsampleBlock(self.channels, 2, dtype=self.dtype, name=f"up{i}")(x)
+        elif self.upscale == 3:
+            x = UpsampleBlock(self.channels, 3, dtype=self.dtype, name="up0")(x)
+        else:
+            raise ValueError(f"unsupported upscale factor {self.upscale}")
+
+        # Reconstruction (model.py:127) + clamp (model.py:150)
+        x = nn.Conv(
+            self.out_channels, (9, 9), padding=4, kernel_init=kaiming_normal,
+            bias_init=nn.initializers.zeros, dtype=self.dtype, name="conv3",
+        )(x)
+        return jnp.clip(x.astype(jnp.float32), 0.0, 1.0)

@@ -1,0 +1,80 @@
+"""Model architecture tests: parameter-count parity with the reference
+(model.py:193-194) and shape/semantics checks."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from srgan_st_tpu.core.config import Config
+from srgan_st_tpu.models import Discriminator, Generator
+from srgan_st_tpu.models.common import pixel_shuffle
+
+
+def n_params(tree):
+    return sum(int(np.prod(x.shape)) for x in jax.tree.leaves(tree))
+
+
+@pytest.fixture(scope="module")
+def config():
+    return Config()
+
+
+class TestGenerator:
+    def test_param_count_parity(self, config):
+        g = Generator.from_config(config)
+        variables = g.init(jax.random.key(0), jnp.zeros((1, 24, 24, 3)), train=False)
+        # reference model.py:193: 1,547,350 parameters
+        assert n_params(variables["params"]) == 1_547_350
+
+    def test_forward_shape_and_range(self, config):
+        g = Generator.from_config(config)
+        variables = g.init(jax.random.key(0), jnp.zeros((1, 24, 24, 3)), train=False)
+        x = jax.random.uniform(jax.random.key(1), (2, 24, 24, 3))
+        out = g.apply(variables, x, train=False)
+        assert out.shape == (2, 96, 96, 3)
+        assert float(out.min()) >= 0.0 and float(out.max()) <= 1.0
+
+    @pytest.mark.parametrize("upscale", [2, 3, 8])
+    def test_other_upscales(self, config, upscale):
+        g = Generator(upscale=upscale)
+        variables = g.init(jax.random.key(0), jnp.zeros((1, 12, 12, 3)), train=False)
+        out = g.apply(variables, jnp.zeros((1, 12, 12, 3)), train=False)
+        assert out.shape == (1, 12 * upscale, 12 * upscale, 3)
+
+    def test_batch_stats_update(self, config):
+        g = Generator.from_config(config)
+        variables = g.init(jax.random.key(0), jnp.zeros((1, 24, 24, 3)), train=False)
+        x = jax.random.uniform(jax.random.key(1), (2, 24, 24, 3))
+        _, mutated = g.apply(variables, x, train=True, mutable=["batch_stats"])
+        before = jax.tree.leaves(variables["batch_stats"])
+        after = jax.tree.leaves(mutated["batch_stats"])
+        assert any(not np.allclose(b, a) for b, a in zip(before, after))
+
+
+class TestDiscriminator:
+    def test_param_count_parity(self, config):
+        d = Discriminator.from_config(config)
+        variables = d.init(jax.random.key(0), jnp.zeros((1, 96, 96, 3)), train=False)
+        # reference model.py:194: 23,563,649 parameters
+        assert n_params(variables["params"]) == 23_563_649
+
+    def test_logits_out(self, config):
+        d = Discriminator.from_config(config)
+        variables = d.init(jax.random.key(0), jnp.zeros((1, 96, 96, 3)), train=False)
+        x = jax.random.uniform(jax.random.key(1), (4, 96, 96, 3))
+        out = d.apply(variables, x, train=False)
+        assert out.shape == (4, 1)
+        # logits, not probabilities: unbounded sign
+        assert out.dtype == jnp.float32
+
+
+class TestPixelShuffle:
+    def test_matches_torch(self, rng):
+        import torch
+
+        x = rng.random((2, 8, 5, 6), dtype=np.float32)  # NCHW, C=8, r=2
+        golden = torch.nn.functional.pixel_shuffle(torch.from_numpy(x), 2).numpy()
+        got = np.asarray(pixel_shuffle(jnp.asarray(x.transpose(0, 2, 3, 1)), 2))
+        np.testing.assert_array_equal(got.transpose(0, 3, 1, 2), golden)
