@@ -39,10 +39,15 @@ class Discriminator(nn.Module):
         )
 
     @nn.compact
-    def __call__(self, x, train: bool = True):
+    def __call__(self, x, train: bool = True, taps: tuple[str, ...] = ()):
+        """Forward pass. With `taps` given (torch node names like
+        "features.4" — the LeakyReLU outputs at torch Sequential indices
+        3i+1 for conv block i), returns {tap: activation} instead of logits,
+        for ContentLossDiscriminator (reference loss.py:259-266)."""
         x = x.astype(self.dtype)
         c = self.channels
         lrelu = lambda z: nn.leaky_relu(z, negative_slope=0.2)  # noqa: E731
+        tap_out = {}
 
         def conv(z, features, stride, use_bias, name):
             return nn.Conv(
@@ -60,14 +65,22 @@ class Discriminator(nn.Module):
 
         # features (reference model.py:30-59): (3)x96x96 -> (512)x6x6
         x = lrelu(conv(x, c, 1, True, "conv0"))
+        if "features.1" in taps:
+            tap_out["features.1"] = x
         specs = [  # (features, stride)
             (c, 2), (2 * c, 1), (2 * c, 2), (4 * c, 1),
             (4 * c, 2), (8 * c, 1), (8 * c, 2),
         ]
+        deepest = max((int(t.split(".")[1]) for t in taps), default=-1)
         for i, (feat, stride) in enumerate(specs, start=1):
             x = conv(x, feat, stride, False, f"conv{i}")
             x = bn(x, f"bn{i}")
             x = lrelu(x)
+            torch_idx = 3 * i + 1  # conv/bn/lrelu triple per block in torch Sequential
+            if f"features.{torch_idx}" in taps:
+                tap_out[f"features.{torch_idx}"] = x
+            if taps and torch_idx >= deepest:
+                return tap_out
 
         # classifier (reference model.py:61-65)
         x = x.reshape(x.shape[0], -1)

@@ -161,3 +161,114 @@ def torch_matlab_bicubic(x: torch.Tensor, scale: float) -> torch.Tensor:
     out = a[:, :, (indice1 - 1), :] * (weight1.unsqueeze(0).unsqueeze(1).unsqueeze(4))
     out = torch.round(255 * torch.sum(out, dim=3).permute(0, 1, 3, 2)) / 255
     return out
+
+
+# ---------------------------------------------------------------------------
+# Loss-forward goldens (reference loss.py formulas, torchvision-free)
+
+def torch_grayscale(x: torch.Tensor) -> torch.Tensor:
+    """torchvision transforms.Grayscale on (..., 3, H, W)."""
+    r, g, b = x.unbind(dim=-3)
+    return (0.2989 * r + 0.587 * g + 0.114 * b).unsqueeze(-3)
+
+
+def torch_best_buddy_loss(x, gt, alpha=1.0, beta=1.0, ksize=3, pad=0, stride=3,
+                          dist_norm="l2", criterion="l1"):
+    """Reference loss.py:115-141."""
+    crit = torch.nn.L1Loss() if criterion == "l1" else torch.nn.MSELoss()
+    p1 = F.unfold(x, kernel_size=ksize, padding=pad, stride=stride)
+    b, c, h = p1.size()
+    p1 = p1.permute(0, 2, 1).contiguous()
+    p2 = F.unfold(gt, kernel_size=ksize, padding=pad, stride=stride).permute(0, 2, 1).contiguous()
+    gt_2 = F.interpolate(gt, scale_factor=0.5, mode="bicubic", align_corners=False)
+    p2_2 = F.unfold(gt_2, kernel_size=ksize, padding=pad, stride=stride).permute(0, 2, 1).contiguous()
+    gt_4 = F.interpolate(gt, scale_factor=0.25, mode="bicubic", align_corners=False)
+    p2_4 = F.unfold(gt_4, kernel_size=ksize, padding=pad, stride=stride).permute(0, 2, 1).contiguous()
+    p2_cat = torch.cat([p2, p2_2, p2_4], 1)
+    score = alpha * torch_pairwise_distance(p1, p2_cat, dist_norm)
+    score = score + beta * torch_pairwise_distance(p2, p2_cat, dist_norm)
+    _, ind = torch.min(score, dim=2)
+    index = ind.unsqueeze(-1).expand([-1, -1, c])
+    sel_p2 = torch.gather(p2_cat, dim=1, index=index)
+    return crit(p1, sel_p2)
+
+
+def _torch_unfold_patch_grids(x, ksize):
+    """Reference loss.py:193-195 nested-unfold gymnastics -> (B, N, 3, k, k)."""
+    b = x.shape[0]
+    x = x.unfold(1, 3, ksize).unfold(2, ksize, ksize).unfold(3, ksize, ksize)
+    x = x.squeeze()
+    return x.reshape(b, -1, 3, ksize, ksize)
+
+
+def torch_gram_loss(x, gt, alpha=1.0, beta=1.0, ksize=3, dist_norm="l2", criterion="l1"):
+    """Reference loss.py:180-225."""
+    crit = torch.nn.L1Loss() if criterion == "l1" else torch.nn.MSELoss()
+
+    def gram_matrix(inp):
+        b, c, d = inp.size()
+        features = inp.reshape(b, c * d)
+        g = torch.mm(features, features.t())
+        return g.div(b * c * d)
+
+    def compute_patches(z):
+        b = z.shape[0]
+        p = _torch_unfold_patch_grids(z, ksize)
+        batched = torch.func.vmap(torch.func.vmap(gram_matrix))
+        return batched(p).reshape(b, -1, ksize * ksize)
+
+    p1 = compute_patches(x)
+    _, _, w = p1.size()
+    p2 = compute_patches(gt)
+    p2_2 = compute_patches(F.interpolate(gt, scale_factor=0.5, mode="bicubic", align_corners=False))
+    p2_4 = compute_patches(F.interpolate(gt, scale_factor=0.25, mode="bicubic", align_corners=False))
+    p2_cat = torch.cat([p2, p2_2, p2_4], 1)
+    score = alpha * torch_pairwise_distance(p1, p2_cat, dist_norm)
+    score = score + beta * torch_pairwise_distance(p2, p2_cat, dist_norm)
+    _, ind = torch.min(score, dim=2)
+    sel_p2 = torch.gather(p2_cat, dim=1, index=ind.unsqueeze(-1).expand([-1, -1, w]))
+    return crit(p1, sel_p2)
+
+
+def torch_patchwise_st_loss(x, gt, sigma=0.5, rho=2.0, alpha=1.0, beta=1.0,
+                            ksize=3, dist_norm="l2", criterion="l1"):
+    """Reference loss.py:330-375."""
+    crit = torch.nn.L1Loss() if criterion == "l1" else torch.nn.MSELoss()
+
+    def s_norm(z):
+        z = torch_grayscale(z)
+        s = torch_structure_tensor(z, sigma=sigma, rho=rho)
+        return s / torch.sqrt(s[0] * s[1] - s[2] ** 2 + 1e-12)
+
+    def compute_patches(z):
+        b = z.shape[0]
+        p = _torch_unfold_patch_grids(z, ksize)
+        batched = torch.func.vmap(torch.func.vmap(s_norm))
+        return batched(p).reshape(b, -1, 3 * ksize * ksize)
+
+    p1 = compute_patches(x)
+    _, _, w = p1.size()
+    p2 = compute_patches(gt)
+    p2_2 = compute_patches(F.interpolate(gt, scale_factor=0.5, mode="bicubic", align_corners=False))
+    p2_4 = compute_patches(F.interpolate(gt, scale_factor=0.25, mode="bicubic", align_corners=False))
+    p2_cat = torch.cat([p2, p2_2, p2_4], 1)
+    score = alpha * torch_pairwise_distance(p1, p2_cat, dist_norm)
+    score = score + beta * torch_pairwise_distance(p2, p2_cat, dist_norm)
+    _, ind = torch.min(score, dim=2)
+    sel_p2 = torch.gather(p2_cat, dim=1, index=ind.unsqueeze(-1).expand([-1, -1, w]))
+    return crit(p1, sel_p2)
+
+
+def torch_st_loss(x, gt, sigma=0.5, rho=2.0, normalize=True):
+    """Reference loss.py:399-413."""
+
+    def st_loss_single(a, b):
+        a = torch_grayscale(a)
+        b = torch_grayscale(b)
+        s_a = torch_structure_tensor(a, sigma=sigma, rho=rho)
+        s_b = torch_structure_tensor(b, sigma=sigma, rho=rho)
+        m = torch_inv_s1_x_s2(s_a, s_b, normalize)
+        lam = torch_eigenvalues(m)
+        return torch_distance(lam).mean()
+
+    return torch.vmap(st_loss_single)(x, gt).mean()

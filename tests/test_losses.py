@@ -1,0 +1,146 @@
+"""Parity tests for the loss zoo against torch-CPU goldens replicating the
+reference loss.py forwards."""
+
+import numpy as np
+import pytest
+import torch
+
+import jax.numpy as jnp
+
+from srgan_st_tpu.core.config import Config
+from srgan_st_tpu import losses
+from tests import reference_impls as ref
+
+
+def _pair(rng, size=24):
+    """A (sr, gt) pair: gt random, sr a noisy version (realistic correlation)."""
+    gt = rng.random((2, 3, size, size), dtype=np.float32)
+    sr = np.clip(gt + 0.1 * rng.standard_normal(gt.shape).astype(np.float32), 0, 1)
+    return sr, gt
+
+
+def _nhwc(x):
+    return jnp.asarray(x.transpose(0, 2, 3, 1))
+
+
+class TestPixelAdversarial:
+    def test_pixel(self, rng):
+        sr, gt = _pair(rng)
+        golden = torch.nn.MSELoss()(torch.from_numpy(sr), torch.from_numpy(gt)).item()
+        got = float(losses.pixel_loss(_nhwc(sr), _nhwc(gt), criterion="mse"))
+        assert abs(got - golden) < 1e-7
+        golden_l1 = torch.nn.L1Loss()(torch.from_numpy(sr), torch.from_numpy(gt)).item()
+        got_l1 = float(losses.pixel_loss(_nhwc(sr), _nhwc(gt), criterion="l1"))
+        assert abs(got_l1 - golden_l1) < 1e-7
+
+    def test_adversarial_matches_bce_with_logits(self, rng):
+        logits = rng.standard_normal((16, 1)).astype(np.float32)
+        for target in (0.9, 0.0):
+            golden = torch.nn.BCEWithLogitsLoss()(
+                torch.from_numpy(logits), torch.full((16, 1), target)
+            ).item()
+            got = float(losses.adversarial_loss(jnp.asarray(logits), target))
+            assert abs(got - golden) < 1e-6
+
+
+class TestBuddyLosses:
+    @pytest.mark.parametrize("dist_norm,criterion", [("l2", "l1"), ("l1", "mse")])
+    def test_best_buddy(self, rng, dist_norm, criterion):
+        sr, gt = _pair(rng, size=24)
+        golden = ref.torch_best_buddy_loss(
+            torch.from_numpy(sr), torch.from_numpy(gt),
+            dist_norm=dist_norm, criterion=criterion,
+        ).item()
+        got = float(
+            losses.best_buddy_loss(
+                _nhwc(sr), _nhwc(gt), dist_norm=dist_norm, criterion=criterion
+            )
+        )
+        assert abs(got - golden) < 1e-5, (got, golden)
+
+    def test_gram(self, rng):
+        sr, gt = _pair(rng, size=24)
+        golden = ref.torch_gram_loss(torch.from_numpy(sr), torch.from_numpy(gt)).item()
+        got = float(losses.gram_loss(_nhwc(sr), _nhwc(gt)))
+        assert abs(got - golden) < 1e-5, (got, golden)
+
+    def test_patchwise_st(self, rng):
+        sr, gt = _pair(rng, size=24)
+        golden = ref.torch_patchwise_st_loss(
+            torch.from_numpy(sr), torch.from_numpy(gt)
+        ).item()
+        got = float(losses.patchwise_st_loss(_nhwc(sr), _nhwc(gt)))
+        assert abs(got - golden) < 2e-4 * max(abs(golden), 1.0), (got, golden)
+
+
+class TestSTLoss:
+    def test_whole_image(self, rng):
+        sr, gt = _pair(rng, size=32)
+        golden = ref.torch_st_loss(torch.from_numpy(sr), torch.from_numpy(gt)).item()
+        got = float(losses.st_loss(_nhwc(sr), _nhwc(gt)))
+        assert abs(got - golden) < 1e-4, (got, golden)
+
+    def test_zero_for_identical(self, rng):
+        gt = rng.random((1, 3, 32, 32), dtype=np.float32)
+        got = float(losses.st_loss(_nhwc(gt), _nhwc(gt)))
+        # eps floors keep it from being exactly 0
+        assert got < 1e-4
+
+
+class TestContentLosses:
+    def test_vgg_random_init_semantics(self, rng):
+        config = Config()
+        config.MODEL.G_LOSS.CRITERIONS = {
+            "ContentVGG": {"kind": "content_vgg", "allow_random_init": True},
+        }
+        crits = losses.build_criterions(config)
+        fn, weight = crits["ContentVGG"]
+        assert weight == 1.0
+        sr, gt = _pair(rng, size=96)
+        val = float(fn(_nhwc(sr), _nhwc(gt)))
+        assert val > 0
+        assert float(fn(_nhwc(gt), _nhwc(gt))) == 0.0
+
+    def test_disc_content_semantics(self, rng):
+        config = Config()
+        config.MODEL.G_LOSS.CRITERIONS = {
+            "ContentDiscriminator": {"kind": "content_disc"},
+        }
+        crits = losses.build_criterions(config)
+        fn, weight = crits["ContentDiscriminator"]
+        assert weight == 2000.0
+        sr, gt = _pair(rng, size=96)
+        assert float(fn(_nhwc(sr), _nhwc(gt))) > 0
+        assert float(fn(_nhwc(gt), _nhwc(gt))) == 0.0
+
+
+class TestRegistry:
+    def test_default_config_builds(self):
+        config = Config()
+        crits = losses.build_criterions(config)
+        assert set(crits) == {"Adversarial"}
+        assert crits["Adversarial"] == (None, 0.001)
+
+    def test_add_remove(self):
+        config = Config()
+        config.add_g_criterion("ST", {"kind": "st"}, weight=1 / 3)
+        config.add_g_criterion("Pixel", {"kind": "pixel"}, weight=1.0)
+        crits = losses.build_criterions(config)
+        assert set(crits) == {"Adversarial", "ST", "Pixel"}
+        config.remove_g_criterion("ST")
+        assert "ST" not in config.MODEL.G_LOSS.CRITERIONS
+
+    def test_warmup_default(self):
+        config = Config()
+        crits = losses.build_warmup_criterions(config)
+        assert set(crits) == {"Pixel"}
+        fn, w = crits["Pixel"]
+        assert w == 1.0
+        x = jnp.ones((1, 4, 4, 3))
+        assert float(fn(x, x * 0.5)) == pytest.approx(0.25)
+
+    def test_vgg_missing_weights_error(self):
+        config = Config()
+        config.MODEL.G_LOSS.CRITERIONS = {"ContentVGG": {"kind": "content_vgg"}}
+        with pytest.raises(FileNotFoundError, match="convert_vgg19"):
+            losses.build_criterions(config)
