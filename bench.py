@@ -1,0 +1,114 @@
+"""Headline benchmark: SRGAN x4 training throughput, patches/sec/chip.
+
+Measures the full jitted GAN training step at the reference's training
+configuration (SURVEY.md §6: batch 16 per chip, 96^2 GT patches, x4
+upscale, criterions = Adversarial + Pixel, D updated every
+SOLVER.D_UPDATE_INTERVAL=100 steps) including the on-device /255 +
+MATLAB-bicubic degradation that replaces the reference's CPU dataloader
+work. Synthetic device-fed batches isolate accelerator throughput; the
+host pipeline only ships uint8 patches.
+
+Baseline: the reference publishes no numbers (BASELINE.md). The A100
+anchor below is an estimate, documented so it can be replaced by a
+measured rerun:
+  * reference input pipeline: ONE DataLoader worker computes the MATLAB
+    bicubic per 96^2 sample in Python/torch-CPU (dataset.py:27-28,
+    train.py:36) at ~3-5 ms/sample -> a ~200-330 patches/s ceiling;
+  * reference compute: G fwd+bwd + D fwd is ~9 GFLOP/patch; an A100 at
+    a generous 25% TF32 utilization gives ~4000 patches/s, so the input
+    pipeline dominates.
+  => estimated reference throughput ~300 patches/s/GPU.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+BASELINE_A100_PATCHES_PER_SEC = 300.0  # estimated; see module docstring
+WARMUP_ITERS = 10
+MEASURE_ITERS = 100
+
+
+def main() -> None:
+    import jax
+
+    from srgan_st_tpu.core.config import Config
+    from srgan_st_tpu.losses.registry import build_criterions
+    from srgan_st_tpu.models.discriminator import Discriminator
+    from srgan_st_tpu.models.generator import Generator
+    from srgan_st_tpu.parallel.mesh import make_mesh, replicated, shard_batch
+    from srgan_st_tpu.train.steps import (
+        create_gan_state,
+        make_d_optimizer,
+        make_g_optimizer,
+        make_gan_steps,
+    )
+
+    config = Config()
+    config.add_g_criterion("Pixel", {"kind": "pixel"}, 1.0)
+
+    n_chips = len(jax.devices())
+    config.DATA.BATCH_SIZE = 16 * n_chips  # reference batch per chip
+
+    mesh = make_mesh(config)
+    g_model = Generator.from_config(config)
+    d_model = Discriminator.from_config(config)
+    steps_per_epoch = 1000
+    g_tx = make_g_optimizer(config, steps_per_epoch)
+    d_tx = make_d_optimizer(config, steps_per_epoch)
+    criterions = build_criterions(config)
+
+    state = jax.device_put(
+        create_gan_state(config, g_model, d_model, g_tx, d_tx), replicated(mesh)
+    )
+    g_step, d_step = make_gan_steps(config, g_model, d_model, criterions, g_tx, d_tx)
+    g_step = jax.jit(g_step, donate_argnums=0)
+    d_step = jax.jit(d_step, donate_argnums=0)
+
+    rng = np.random.default_rng(0)
+    batches = [
+        shard_batch(
+            rng.integers(0, 256, (config.DATA.BATCH_SIZE, 96, 96, 3), np.uint8), mesh
+        )
+        for _ in range(4)
+    ]
+
+    d_interval = config.SOLVER.D_UPDATE_INTERVAL
+
+    # warmup / compile
+    for i in range(WARMUP_ITERS):
+        state, sr, g_metrics = g_step(state, batches[i % len(batches)])
+        if i % d_interval == 0:
+            state, d_metrics = d_step(state, batches[i % len(batches)], sr)
+    jax.block_until_ready(state)
+
+    # measure steady state, D amortized at its true interval
+    start = time.perf_counter()
+    for i in range(MEASURE_ITERS):
+        state, sr, g_metrics = g_step(state, batches[i % len(batches)])
+        if i % d_interval == 0:
+            state, d_metrics = d_step(state, batches[i % len(batches)], sr)
+    jax.block_until_ready(state)
+    elapsed = time.perf_counter() - start
+
+    patches = MEASURE_ITERS * config.DATA.BATCH_SIZE
+    per_chip = patches / elapsed / n_chips
+    print(
+        json.dumps(
+            {
+                "metric": "train_patches_per_sec_per_chip",
+                "value": round(per_chip, 2),
+                "unit": "patches/s/chip (SRGAN x4, 96px GT, batch 16/chip, Adv+Pixel)",
+                "vs_baseline": round(per_chip / BASELINE_A100_PATCHES_PER_SEC, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

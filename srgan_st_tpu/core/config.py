@@ -73,6 +73,7 @@ class Config:
         self.DATA.GT_IMAGE_SIZE = 96
         # TPU additions (no reference equivalent): the input pipeline.
         self.DATA.SYNTHETIC = False         # use an on-device synthetic dataset (tests/bench)
+        self.DATA.SYNTHETIC_N_BATCHES = 64  # synthetic batches per epoch
         self.DATA.PREFETCH = 2              # host->device prefetch depth
         self.DATA.AUGMENT = False           # random flip/rot90 augmentation (reference has none)
         self.DATA.NUM_WORKERS = 4           # decode worker threads

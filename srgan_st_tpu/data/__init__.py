@@ -1,0 +1,6 @@
+from srgan_st_tpu.data.pipeline import (  # noqa: F401
+    TrainPatchSource,
+    SyntheticPatchSource,
+    TestPairSource,
+    make_train_source,
+)

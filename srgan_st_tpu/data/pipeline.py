@@ -1,0 +1,173 @@
+"""Host input pipeline.
+
+The reference's train loader reads one 96x96 HR patch per item and runs the
+MATLAB bicubic degradation *per sample on the CPU in a single DataLoader
+worker* (reference dataset.py:9-35, train.py:32-40) — its documented input
+bottleneck (SURVEY.md §2.4). The TPU-native split is:
+
+  host:   decode pre-tiled uint8 HR patches with a thread pool, assemble
+          global batches, prefetch (uint8 over PCIe — 4x cheaper than f32)
+  device: /255 normalize, optional augmentation, bicubic x(1/upscale)
+          degradation — fused into the jitted train step (see
+          srgan_st_tpu/train/steps.py), bit-matching the reference's
+          Bicubic.forward including its round(255x)/255 quantization.
+
+Shuffling is a numpy permutation per epoch (reference uses
+DataLoader(shuffle=True) with drop_last=True — matched).
+"""
+
+from __future__ import annotations
+
+import os
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+
+import numpy as np
+
+from PIL import Image
+
+
+_IMG_EXTS = (".png", ".jpg", ".jpeg", ".bmp", ".tif", ".tiff", ".webp")
+
+
+def _list_images(directory: str) -> list[str]:
+    out = []
+    for dirpath, _, filenames in os.walk(directory):
+        for f in sorted(filenames):
+            if f.lower().endswith(_IMG_EXTS) and not f.startswith("."):
+                out.append(os.path.join(dirpath, f))
+    return sorted(out)
+
+
+def _decode_rgb(path: str) -> np.ndarray:
+    with Image.open(path) as im:
+        return np.asarray(im.convert("RGB"), dtype=np.uint8)
+
+
+class TrainPatchSource:
+    """Streams shuffled uint8 NHWC GT-patch batches from a directory of
+    pre-tiled HR patches (the output of prepare_dataset.py)."""
+
+    def __init__(self, gt_dir: str, batch_size: int, patch_size: int = 96,
+                 seed: int = 0, num_workers: int = 4, prefetch: int = 2):
+        self.files = _list_images(gt_dir)
+        if not self.files:
+            raise FileNotFoundError(f"no images under {gt_dir}")
+        self.batch_size = batch_size
+        self.patch_size = patch_size
+        self.num_workers = max(1, num_workers)
+        self.prefetch = prefetch
+        self._rng = np.random.default_rng(seed)
+        self._pool = (
+            ThreadPoolExecutor(max_workers=self.num_workers)
+            if self.num_workers > 1
+            else None
+        )
+
+    def __len__(self) -> int:  # batches per epoch (drop_last=True)
+        return len(self.files) // self.batch_size
+
+    def _load_batch(self, paths: list[str]) -> np.ndarray:
+        if self._pool is not None:
+            ims = list(self._pool.map(_decode_rgb, paths))
+        else:
+            ims = [_decode_rgb(p) for p in paths]
+        s = self.patch_size
+        out = np.empty((len(ims), s, s, 3), dtype=np.uint8)
+        for i, im in enumerate(ims):
+            if im.shape[0] < s or im.shape[1] < s:
+                raise ValueError(f"patch smaller than {s}: {paths[i]} {im.shape}")
+            out[i] = im[:s, :s]
+        return out
+
+    def epoch(self):
+        """Yield uint8 (B, S, S, 3) batches for one shuffled epoch, with a
+        background prefetch pipeline."""
+        order = self._rng.permutation(len(self.files))
+        n_batches = len(self)
+        q: queue.Queue = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+
+        def producer():
+            try:
+                for b in range(n_batches):
+                    if stop.is_set():
+                        return
+                    idx = order[b * self.batch_size:(b + 1) * self.batch_size]
+                    q.put(self._load_batch([self.files[i] for i in idx]))
+                q.put(None)
+            except Exception as e:  # propagate decode errors to the consumer
+                q.put(e)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        try:
+            while True:
+                item = q.get()
+                if item is None:
+                    return
+                if isinstance(item, Exception):
+                    raise item
+                yield item
+        finally:
+            stop.set()
+
+
+class SyntheticPatchSource:
+    """Deterministic synthetic GT patches (tests / benchmarks; no disk IO)."""
+
+    def __init__(self, batch_size: int, patch_size: int = 96, n_batches: int = 64,
+                 seed: int = 0, **_unused):
+        self.batch_size = batch_size
+        self.patch_size = patch_size
+        self.n_batches = n_batches
+        self._rng = np.random.default_rng(seed)
+
+    def __len__(self) -> int:
+        return self.n_batches
+
+    def epoch(self):
+        for _ in range(self.n_batches):
+            yield self._rng.integers(
+                0, 256, (self.batch_size, self.patch_size, self.patch_size, 3),
+                dtype=np.uint8,
+            )
+
+
+def make_train_source(config):
+    if config.DATA.SYNTHETIC:
+        return SyntheticPatchSource(
+            config.DATA.BATCH_SIZE, config.DATA.GT_IMAGE_SIZE,
+            n_batches=config.DATA.SYNTHETIC_N_BATCHES, seed=config.DATA.SEED,
+        )
+    return TrainPatchSource(
+        config.DATA.TRAIN_GT_IMAGES_DIR,
+        config.DATA.BATCH_SIZE,
+        config.DATA.GT_IMAGE_SIZE,
+        seed=config.DATA.SEED,
+        num_workers=config.DATA.NUM_WORKERS,
+        prefetch=config.DATA.PREFETCH,
+    )
+
+
+class TestPairSource:
+    """Paired pre-generated GT/LR eval directories, sorted filename
+    alignment (reference dataset.py:39-58; e.g. GTmod12 / LRbicx4)."""
+
+    def __init__(self, gt_dir: str, lr_dir: str):
+        self.gt_files = _list_images(gt_dir)
+        self.lr_files = _list_images(lr_dir)
+        if len(self.gt_files) != len(self.lr_files):
+            raise ValueError(
+                f"GT/LR count mismatch: {len(self.gt_files)} vs {len(self.lr_files)}"
+            )
+
+    def __len__(self) -> int:
+        return len(self.gt_files)
+
+    def __iter__(self):
+        for gt_path, lr_path in zip(self.gt_files, self.lr_files):
+            gt = _decode_rgb(gt_path).astype(np.float32) / 255.0
+            lr = _decode_rgb(lr_path).astype(np.float32) / 255.0
+            yield gt[None], lr[None]  # NHWC batch-1

@@ -1,0 +1,133 @@
+"""Evaluation: Y-channel PSNR/SSIM over paired test sets.
+
+Reproduces the reference's validate.py:18-113 contract: batch-1 no-grad
+loop, the exact uint8 round-trip metric recipe (SURVEY.md §2.6), optional
+PNG dumps (optionally side-by-side with GT), a per-image `_metrics.txt`
+log, and mean +/- 95% normal-approximation confidence intervals. The
+"bicubic" / "nearest" EXP.NAME substitution (validate.py:48-51) provides
+the known-good baseline generators.
+"""
+
+from __future__ import annotations
+
+import os
+from statistics import NormalDist
+
+import numpy as np
+import jax
+
+from srgan_st_tpu.data.pipeline import TestPairSource
+from srgan_st_tpu.ops.color import bgr2ycbcr
+from srgan_st_tpu.ops.metrics import psnr as psnr_fn
+from srgan_st_tpu.ops.metrics import ssim as ssim_fn
+from srgan_st_tpu.ops.metrics import tensor2img
+
+
+def confidence_interval(data, confidence: float = 0.95) -> float:
+    """Half-width of the normal-approx CI (reference validate.py:18-26)."""
+    dist = NormalDist.from_samples(data)
+    z = NormalDist().inv_cdf((1 + confidence) / 2.0)
+    return dist.stdev * z / ((len(data) - 1) ** 0.5)
+
+
+def validate(
+    apply_fn,
+    pairs,
+    config,
+    save_images: bool = False,
+    concat_with_gt: bool = False,
+    save_metrics: bool = False,
+) -> tuple[float, float]:
+    """Run eval: apply_fn(lr_nhwc) -> sr_nhwc per batch-1 pair.
+
+    Returns (avg_psnr, avg_ssim) following reference validate.py:61-113."""
+    metrics_file = None
+    out_dir = os.path.join(config.DATA.TEST_SR_IMAGES_DIR, config.EXP.NAME)
+    if save_metrics:
+        os.makedirs(out_dir, exist_ok=True)
+        metrics_file = open(os.path.join(out_dir, "_metrics.txt"), mode="w")
+
+    all_psnr, all_ssim = [], []
+    for idx, (hr_img, lr_img) in enumerate(pairs):
+        output = np.asarray(apply_fn(jax.device_put(lr_img)))
+
+        output = tensor2img(output)  # uint8 BGR HWC
+        gt = tensor2img(hr_img)
+
+        if save_images:
+            os.makedirs(out_dir, exist_ok=True)
+            img = np.concatenate([output, gt], axis=1) if concat_with_gt else output
+            _write_png(os.path.join(out_dir, f"{idx}.png"), img)
+
+        output_y = bgr2ycbcr(output.astype(np.float32) / 255.0, only_y=True)
+        gt_y = bgr2ycbcr(gt.astype(np.float32) / 255.0, only_y=True)
+        p = psnr_fn(output_y * 255, gt_y * 255)
+        s = ssim_fn(output_y * 255, gt_y * 255)
+        all_psnr.append(p)
+        all_ssim.append(s)
+        if metrics_file:
+            metrics_file.write(f"{idx}.png | PSNR: {p:.2f} | SSIM: {s:.4f}\n")
+
+    avg_psnr = sum(all_psnr) / len(all_psnr)
+    avg_ssim = sum(all_ssim) / len(all_ssim)
+    if len(all_psnr) > 1:
+        line = (
+            f"[Test] | PSNR: {avg_psnr:.2f} ± {confidence_interval(all_psnr):.2f} "
+            f"| SSIM: {avg_ssim:.4f} ± {confidence_interval(all_ssim):.4f} | \n"
+        )
+    else:
+        line = f"[Test] | PSNR: {avg_psnr:.2f} | SSIM: {avg_ssim:.4f} | \n"
+    print(line)
+    if metrics_file:
+        metrics_file.write("\n" + line + "\n")
+        metrics_file.close()
+    return avg_psnr, avg_ssim
+
+
+def _write_png(path: str, bgr_img: np.ndarray) -> None:
+    from PIL import Image
+
+    Image.fromarray(bgr_img[..., ::-1]).save(path)  # stored via RGB
+
+
+def make_generator_apply(config, variables):
+    """Jitted eval-mode generator closure (recompiles per input shape —
+    test sets are a handful of sizes; matches reference eval semantics
+    with running BN statistics)."""
+    from srgan_st_tpu.models.generator import Generator
+
+    g_model = Generator.from_config(config)
+
+    @jax.jit
+    def apply(lr):
+        return g_model.apply(variables, lr, train=False)
+
+    return apply
+
+
+def test(config, save_images: bool = True, g_path: str | None = None,
+         concat_w_gt: bool = False) -> tuple[float, float]:
+    """Test a generator; EXP.NAME 'bicubic'/'nearest' selects the baseline
+    upscalers instead (reference validate.py:28-58)."""
+    pairs = TestPairSource(config.DATA.TEST_GT_IMAGES_DIR, config.DATA.TEST_LR_IMAGES_DIR)
+
+    if config.EXP.NAME == "bicubic":
+        from srgan_st_tpu.models.baselines import BicubicUpscaler
+
+        apply_fn = BicubicUpscaler(config.DATA.UPSCALE_FACTOR)
+    elif config.EXP.NAME == "nearest":
+        from srgan_st_tpu.models.baselines import NearestNeighbourUpscaler
+
+        apply_fn = NearestNeighbourUpscaler(config.DATA.UPSCALE_FACTOR)
+    else:
+        from srgan_st_tpu.train.checkpoint import load_params_npz
+
+        if not g_path:
+            g_path = f"results/{config.EXP.NAME}/g_best.npz"
+        variables = load_params_npz(g_path)
+        apply_fn = make_generator_apply(config, variables)
+
+    return validate(
+        apply_fn, pairs, config,
+        save_images=save_images, concat_with_gt=concat_w_gt, save_metrics=True,
+    )

@@ -1,0 +1,44 @@
+"""Device-mesh and sharding utilities.
+
+The reference is strictly single-device ("cuda:0", reference config.py:17;
+SURVEY.md §2.10) — this module is the TPU-native replacement: a
+`jax.sharding.Mesh` over all local devices with a 1-D ('data',) axis for
+data-parallel GAN training. Batches are sharded along 'data'; parameters
+and optimizer state are replicated; XLA inserts the psum gradient
+reductions over ICI automatically under jit (GSPMD). The mesh API accepts
+arbitrary shapes/axes so tensor-parallel axes are expressible (unused by
+default — G is 1.5M params; SURVEY.md §2.10).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(config=None, devices=None, shape=None, axes=None) -> Mesh:
+    """Build a device mesh. Default: 1-D ('data',) over all devices."""
+    devices = devices if devices is not None else jax.devices()
+    if config is not None:
+        shape = shape or config.TPU.MESH_SHAPE
+        axes = axes or tuple(config.TPU.MESH_AXES)
+    axes = axes or ("data",)
+    shape = tuple(shape) if shape else (len(devices),)
+    if int(np.prod(shape)) != len(devices):
+        raise ValueError(f"mesh shape {shape} != {len(devices)} devices")
+    return Mesh(np.asarray(devices).reshape(shape), axes)
+
+
+def batch_sharding(mesh: Mesh, axis: str = "data") -> NamedSharding:
+    """Shard the leading (batch) dimension over the data axis."""
+    return NamedSharding(mesh, P(axis))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch, mesh: Mesh, axis: str = "data"):
+    """Device-put a host batch sharded over the data axis."""
+    return jax.device_put(batch, batch_sharding(mesh, axis))

@@ -1,0 +1,246 @@
+"""Jitted training steps.
+
+The reference's per-batch loop (train.py:116-164) is re-expressed as two
+compiled, donated-buffer step functions — the SURVEY.md §7 "GAN step
+structure under jit" design:
+
+  * `g_step(state, gt_u8)` — on-device /255 + bicubic degradation, generator
+    forward, the weighted criterion sum (adversarial handled by name, like
+    train.py:135-138), gradients w.r.t. G only (`stop_gradient` semantics
+    replace the reference's requires_grad freezing dance, train.py:125-126),
+    Adam update, BN batch-stat updates for G *and* D (torch updates D's
+    running stats during the G forward in train mode — matched).
+
+  * `d_step(state, gt, sr)` — the every-`D_UPDATE_INTERVAL` discriminator
+    update (train.py:149-164): D(gt) vs smoothed real, D(stop_grad(sr)) vs
+    fake, sequential BN stat updates, Adam update. Invoked from the host on
+    the interval, exactly like the reference's `if batch_num % interval`.
+
+Data parallelism: callers `device_put` the state replicated and batches
+sharded over the ('data',) mesh axis; GSPMD inserts the psum gradient
+reductions and the cross-replica BatchNorm statistics automatically.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from srgan_st_tpu.losses.functions import adversarial_loss
+from srgan_st_tpu.ops.resize import resize_bicubic
+
+
+class GANTrainState(struct.PyTreeNode):
+    g_params: Any
+    g_stats: Any
+    g_opt: Any
+    d_params: Any = None
+    d_stats: Any = None
+    d_opt: Any = None
+    step: jnp.ndarray = struct.field(default_factory=lambda: jnp.zeros((), jnp.int32))
+
+
+def multistep_lr(base_lr: float, milestones_steps: list[int], gamma: float) -> Callable:
+    """Exact MultiStepLR semantics (reference train.py:78-87, milestones in
+    *steps*): lr = base * gamma^(#milestones passed)."""
+    if not milestones_steps:
+        return lambda count: base_lr
+    bounds = jnp.asarray(sorted(milestones_steps))
+
+    def schedule(count):
+        return base_lr * gamma ** jnp.sum(count >= bounds)
+
+    return schedule
+
+
+def make_optimizer(base_lr, beta1, beta2, eps, weight_decay, milestones_steps, gamma):
+    """Adam with the reference's hyperparameters — note eps=1e-4, not the
+    torch default (reference config.py:107,114)."""
+    sched = multistep_lr(base_lr, milestones_steps, gamma)
+    if weight_decay:
+        return optax.adamw(sched, b1=beta1, b2=beta2, eps=eps, weight_decay=weight_decay)
+    return optax.adam(sched, b1=beta1, b2=beta2, eps=eps)
+
+
+def make_g_optimizer(config, steps_per_epoch: int, milestones: bool = True):
+    ms = [m * steps_per_epoch for m in config.SCHEDULER.MILESTONES] if milestones else []
+    return make_optimizer(
+        config.SOLVER.G_BASE_LR, config.SOLVER.G_BETA1, config.SOLVER.G_BETA2,
+        config.SOLVER.G_EPS, config.SOLVER.G_WEIGHT_DECAY, ms, config.SCHEDULER.GAMMA,
+    )
+
+
+def make_d_optimizer(config, steps_per_epoch: int):
+    ms = [m * steps_per_epoch for m in config.SCHEDULER.MILESTONES]
+    return make_optimizer(
+        config.SOLVER.D_BASE_LR, config.SOLVER.D_BETA1, config.SOLVER.D_BETA2,
+        config.SOLVER.D_EPS, config.SOLVER.D_WEIGHT_DECAY, ms, config.SCHEDULER.GAMMA,
+    )
+
+
+# ---------------------------------------------------------------------------
+
+def _prepare_batch(gt, config, aug_key=None):
+    """uint8 NHWC GT batch -> (gt, lr) float32 pair, on device.
+
+    Matches the reference data path (dataset.py:23-32): /255, then
+    MATLAB-bicubic x(1/upscale) with quantization. Optional flip/rot90
+    augmentation (reference has none; DATA.AUGMENT, default off)."""
+    if gt.dtype == jnp.uint8:
+        gt = gt.astype(jnp.float32) / 255.0
+    if aug_key is not None:
+        kf, kr = jax.random.split(aug_key)
+        flip = jax.random.bernoulli(kf, shape=(gt.shape[0],))
+        gt = jnp.where(flip[:, None, None, None], gt[:, :, ::-1], gt)
+        rot = jax.random.bernoulli(kr, shape=(gt.shape[0],))
+        gt = jnp.where(rot[:, None, None, None], jnp.rot90(gt, axes=(1, 2)), gt)
+    lr = resize_bicubic(gt, 1.0 / config.DATA.UPSCALE_FACTOR, method="matlab")
+    return gt, lr
+
+
+def make_warmup_step(config, g_model, criterions, g_tx):
+    """Generator-only pretraining step (reference warmup.py:74-96)."""
+    augment = bool(config.DATA.AUGMENT)
+
+    def warmup_step(state: GANTrainState, gt_u8, aug_key=None):
+        gt, lr = _prepare_batch(gt_u8, config, aug_key if augment else None)
+
+        def loss_fn(g_params):
+            sr, mut = g_model.apply(
+                {"params": g_params, "batch_stats": state.g_stats},
+                lr, train=True, mutable=["batch_stats"],
+            )
+            total = 0.0
+            values = {}
+            for name, (fn, weight) in criterions.items():
+                term = fn(sr, gt) * weight
+                values[f"G_{name}"] = term
+                total = total + term
+            return total, (values, mut["batch_stats"])
+
+        (total, (values, g_stats)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.g_params
+        )
+        updates, g_opt = g_tx.update(grads, state.g_opt, state.g_params)
+        g_params = optax.apply_updates(state.g_params, updates)
+        metrics = dict(values, G_Loss=total)
+        return (
+            state.replace(g_params=g_params, g_stats=g_stats, g_opt=g_opt,
+                          step=state.step + 1),
+            metrics,
+        )
+
+    return warmup_step
+
+
+def make_gan_steps(config, g_model, d_model, criterions, g_tx, d_tx):
+    """Build (g_step, d_step) for adversarial training (train.py:116-164)."""
+    real_label = 1.0 - config.EXP.LABEL_SMOOTHING
+    augment = bool(config.DATA.AUGMENT)
+    has_adversarial = any(fn is None for fn, _ in criterions.values())
+
+    def g_step(state: GANTrainState, gt_u8, aug_key=None):
+        gt, lr = _prepare_batch(gt_u8, config, aug_key if augment else None)
+
+        def loss_fn(g_params):
+            sr, mut = g_model.apply(
+                {"params": g_params, "batch_stats": state.g_stats},
+                lr, train=True, mutable=["batch_stats"],
+            )
+            d_stats = state.d_stats
+            total = 0.0
+            values = {}
+            for name, (fn, weight) in criterions.items():
+                if fn is None:  # Adversarial (train.py:135-136)
+                    logits, d_mut = d_model.apply(
+                        {"params": state.d_params, "batch_stats": d_stats},
+                        sr, train=True, mutable=["batch_stats"],
+                    )
+                    term = adversarial_loss(logits, real_label) * weight
+                    d_stats = d_mut["batch_stats"]
+                else:
+                    term = fn(sr, gt) * weight
+                values[f"G_{name}"] = term
+                total = total + term
+            return total, (values, mut["batch_stats"], d_stats, sr)
+
+        (total, (values, g_stats, d_stats, sr)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.g_params)
+        updates, g_opt = g_tx.update(grads, state.g_opt, state.g_params)
+        g_params = optax.apply_updates(state.g_params, updates)
+        metrics = dict(values, G_Loss=total)
+        new_state = state.replace(
+            g_params=g_params, g_stats=g_stats, g_opt=g_opt,
+            d_stats=d_stats if has_adversarial else state.d_stats,
+            step=state.step + 1,
+        )
+        return new_state, jax.lax.stop_gradient(sr), metrics
+
+    def d_step(state: GANTrainState, gt_u8, sr):
+        gt, _ = _prepare_batch(gt_u8, config, None)
+        sr = jax.lax.stop_gradient(sr)
+
+        def loss_fn(d_params):
+            pred_gt, mut1 = d_model.apply(
+                {"params": d_params, "batch_stats": state.d_stats},
+                gt, train=True, mutable=["batch_stats"],
+            )
+            loss_real = adversarial_loss(pred_gt, real_label)
+            pred_sr, mut2 = d_model.apply(
+                {"params": d_params, "batch_stats": mut1["batch_stats"]},
+                sr, train=True, mutable=["batch_stats"],
+            )
+            loss_fake = adversarial_loss(pred_sr, 0.0)
+            return loss_real + loss_fake, (mut2["batch_stats"], pred_gt, pred_sr)
+
+        (d_loss, (d_stats, pred_gt, pred_sr)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.d_params)
+        updates, d_opt = d_tx.update(grads, state.d_opt, state.d_params)
+        d_params = optax.apply_updates(state.d_params, updates)
+        metrics = {
+            "D_Loss": d_loss,
+            "D(GT)_Probability": jax.nn.sigmoid(pred_gt.mean()),
+            "D(SR)_Probability": jax.nn.sigmoid(pred_sr.mean()),
+        }
+        return (
+            state.replace(d_params=d_params, d_stats=d_stats, d_opt=d_opt),
+            metrics,
+        )
+
+    return g_step, d_step
+
+
+# ---------------------------------------------------------------------------
+
+def create_generator_state(config, g_model, g_tx, rng=None) -> GANTrainState:
+    rng = rng if rng is not None else jax.random.key(config.DATA.SEED)
+    lr_size = config.DATA.GT_IMAGE_SIZE // config.DATA.UPSCALE_FACTOR
+    variables = g_model.init(
+        rng, jnp.zeros((1, lr_size, lr_size, config.MODEL.G_IN_CHANNEL)), train=False
+    )
+    return GANTrainState(
+        g_params=variables["params"],
+        g_stats=variables["batch_stats"],
+        g_opt=g_tx.init(variables["params"]),
+    )
+
+
+def create_gan_state(config, g_model, d_model, g_tx, d_tx, rng=None) -> GANTrainState:
+    rng = rng if rng is not None else jax.random.key(config.DATA.SEED)
+    g_rng, d_rng = jax.random.split(rng)
+    state = create_generator_state(config, g_model, g_tx, g_rng)
+    size = config.DATA.GT_IMAGE_SIZE
+    d_vars = d_model.init(
+        d_rng, jnp.zeros((1, size, size, config.MODEL.D_IN_CHANNEL)), train=False
+    )
+    return state.replace(
+        d_params=d_vars["params"],
+        d_stats=d_vars["batch_stats"],
+        d_opt=d_tx.init(d_vars["params"]),
+    )

@@ -1,0 +1,102 @@
+"""Generator pretraining ("SRResNet" warmup) driver.
+
+Mirrors reference warmup.py:14-148: Adam on G only (no LR scheduler), the
+WARMUP_CRITERIONS set (default pixel MSE), per-epoch validation, TensorBoard
+scalars, and the g_last / g_best / g_epoch{N} checkpoint policy. TPU-native:
+jitted donated step, data-parallel batch sharding over the ('data',) mesh.
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax
+import numpy as np
+
+from srgan_st_tpu.data.pipeline import make_train_source
+from srgan_st_tpu.eval.validate import make_generator_apply, validate
+from srgan_st_tpu.losses.registry import build_warmup_criterions
+from srgan_st_tpu.models.generator import Generator
+from srgan_st_tpu.parallel.mesh import make_mesh, replicated, shard_batch
+from srgan_st_tpu.train.checkpoint import CheckpointPolicy, save_variables_npz
+from srgan_st_tpu.train.logging import ExperimentWriter
+from srgan_st_tpu.train.steps import (
+    create_generator_state,
+    make_g_optimizer,
+    make_warmup_step,
+)
+from srgan_st_tpu.train.utils import make_test_pairs
+
+
+def warmup(config):
+    # Seeding is explicit PRNG-key threading (replaces the reference's
+    # global init_random_seed, warmup.py:17).
+    rng = jax.random.key(config.DATA.SEED)
+
+    mesh = make_mesh(config)
+    source = make_train_source(config)
+    steps_per_epoch = len(source)
+
+    g_model = Generator.from_config(config)
+    g_tx = make_g_optimizer(config, steps_per_epoch, milestones=False)
+    criterions = build_warmup_criterions(config)
+
+    state = create_generator_state(config, g_model, g_tx, rng)
+    state = jax.device_put(state, replicated(mesh))
+
+    step_fn = jax.jit(make_warmup_step(config, g_model, criterions, g_tx),
+                      donate_argnums=0)
+
+    writer = ExperimentWriter(config)
+    results_dir = f"results/{config.EXP.NAME}"
+    policy = CheckpointPolicy(results_dir, config.G_CHECKPOINT_INTERVAL)
+    test_pairs = make_test_pairs(config)
+
+    batches_done = 0
+    for epoch in range(config.EXP.START_EPOCH, config.EXP.N_EPOCHS):
+        print(f"Beginning train epoch: {epoch+1}")
+
+        metrics = {}
+        for batch_num, gt_batch in enumerate(source.epoch()):
+            batches_done += 1
+            state, metrics = step_fn(state, shard_batch(gt_batch, mesh))
+
+            if batch_num % config.LOG_TRAIN_PERIOD != 0:
+                continue
+            metrics = jax.device_get(metrics)
+            for name, val in metrics.items():
+                writer.add_scalar(f"Train/{name}", val, batches_done)
+            print(
+                f"[Epoch {epoch+1}/{config.EXP.N_EPOCHS}] "
+                f"[Batch {batch_num}/{steps_per_epoch}] "
+                f"[G loss: {float(metrics['G_Loss'])}]"
+            )
+
+        # ---- validate (reference warmup.py:115-125)
+        g_variables = {"params": state.g_params, "batch_stats": state.g_stats}
+        psnr, ssim = validate(
+            make_generator_apply(config, jax.device_get(g_variables)),
+            test_pairs, config,
+        )
+        print(f"[Test: {epoch+1}/{config.EXP.N_EPOCHS}] [PSNR: {psnr}] [SSIM: {ssim}]")
+        writer.add_scalar("Test/PSNR", psnr, epoch + 1)
+        writer.add_scalar("Test/SSIM", ssim, epoch + 1)
+
+        # ---- checkpoints (reference warmup.py:128-147)
+        save_variables_npz(os.path.join(results_dir, "g_last.npz"), g_variables)
+        is_best = policy.save_epoch(state, epoch, psnr, ssim)
+        if is_best:
+            save_variables_npz(os.path.join(results_dir, "g_best.npz"), g_variables)
+        if 0 < epoch and epoch % config.G_CHECKPOINT_INTERVAL == 0:
+            save_variables_npz(
+                os.path.join(results_dir, f"g_epoch{epoch}.npz"), g_variables
+            )
+
+    writer.close()
+    return state
+
+
+if __name__ == "__main__":
+    from srgan_st_tpu.core.config import Config
+
+    warmup(Config())

@@ -1,0 +1,90 @@
+"""Eval pipeline tests: the baseline generators, metric protocol, CI,
+and artifact outputs."""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from srgan_st_tpu.core.config import Config
+from srgan_st_tpu.eval.validate import confidence_interval, validate
+from srgan_st_tpu.eval.validate import test as run_test
+
+
+@pytest.fixture
+def image_pairs(tmp_path, rng):
+    """Write a tiny paired GT/LR test set to disk (x4, GTmod12-style)."""
+    from PIL import Image
+
+    gt_dir = tmp_path / "GTmod12"
+    lr_dir = tmp_path / "LRbicx4"
+    gt_dir.mkdir()
+    lr_dir.mkdir()
+    from srgan_st_tpu.ops.resize import resize_bicubic
+
+    for i in range(3):
+        gt = (rng.random((48, 60, 3)) * 255).astype(np.uint8)
+        Image.fromarray(gt).save(gt_dir / f"img{i}.png")
+        lr = resize_bicubic(jnp.asarray(gt[None], jnp.float32) / 255.0, 0.25)
+        lr_u8 = np.asarray(jnp.round(lr[0] * 255).astype(jnp.uint8))
+        Image.fromarray(lr_u8).save(lr_dir / f"img{i}.png")
+    return str(gt_dir), str(lr_dir)
+
+
+def test_confidence_interval_matches_reference_formula():
+    data = [1.0, 2.0, 3.0, 4.0, 5.0]
+    from statistics import NormalDist
+
+    dist = NormalDist.from_samples(data)
+    z = NormalDist().inv_cdf(0.975)
+    expected = dist.stdev * z / ((len(data) - 1) ** 0.5)
+    assert confidence_interval(data) == pytest.approx(expected)
+
+
+def test_bicubic_baseline_end_to_end(tmp_path, image_pairs, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    gt_dir, lr_dir = image_pairs
+    config = Config()
+    config.EXP.NAME = "bicubic"
+    config.DATA.TEST_GT_IMAGES_DIR = gt_dir
+    config.DATA.TEST_LR_IMAGES_DIR = lr_dir
+    config.DATA.TEST_SR_IMAGES_DIR = str(tmp_path / "out")
+
+    psnr, ssim = run_test(config, save_images=True)
+    # bicubic x4 on random noise is poor but finite and bounded
+    assert 5 < psnr < 40
+    assert 0 <= ssim <= 1
+    out_dir = os.path.join(config.DATA.TEST_SR_IMAGES_DIR, "bicubic")
+    assert os.path.exists(os.path.join(out_dir, "0.png"))
+    metrics = open(os.path.join(out_dir, "_metrics.txt")).read()
+    assert "PSNR" in metrics and "±" in metrics
+
+
+def test_nearest_baseline(tmp_path, image_pairs):
+    gt_dir, lr_dir = image_pairs
+    config = Config()
+    config.EXP.NAME = "nearest"
+    config.DATA.TEST_GT_IMAGES_DIR = gt_dir
+    config.DATA.TEST_LR_IMAGES_DIR = lr_dir
+    config.DATA.TEST_SR_IMAGES_DIR = str(tmp_path / "out")
+    psnr, ssim = run_test(config, save_images=False)
+    assert np.isfinite(psnr) and np.isfinite(ssim)
+
+
+def test_identity_generator_gives_inf_psnr(tmp_path, image_pairs):
+    gt_dir, lr_dir = image_pairs
+    config = Config()
+    config.EXP.NAME = "identity"
+    config.DATA.TEST_GT_IMAGES_DIR = gt_dir
+    config.DATA.TEST_LR_IMAGES_DIR = lr_dir
+    config.DATA.TEST_SR_IMAGES_DIR = str(tmp_path / "out")
+    from srgan_st_tpu.data.pipeline import TestPairSource
+
+    pairs = list(TestPairSource(gt_dir, lr_dir))
+    # "generator" that returns the GT itself -> perfect scores
+    gts = iter([gt for gt, _ in pairs])
+    psnr, ssim = validate(lambda lr: next(gts), pairs, config)
+    assert psnr == float("inf")
+    assert ssim == pytest.approx(1.0)

@@ -1,0 +1,215 @@
+"""End-to-end training smoke tests on the 8-device virtual CPU mesh:
+warmup + GAN training on synthetic data, loss decrease, checkpoint
+round-trip, multi-device sharding (SURVEY.md §4 test strategy)."""
+
+import glob
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from srgan_st_tpu.core.config import Config
+
+
+def tiny_config(tmp_path, name, epochs=1, batches=4, gt_size=96, batch=8):
+    config = Config()
+    config.EXP.NAME = name
+    config.EXP.N_EPOCHS = epochs
+    config.DATA.SYNTHETIC = True
+    config.DATA.SYNTHETIC_N_BATCHES = batches
+    config.DATA.BATCH_SIZE = batch
+    config.DATA.GT_IMAGE_SIZE = gt_size
+    config.DATA.TEST_SR_IMAGES_DIR = str(tmp_path / "sr")
+    config.LOG_TRAIN_PERIOD = 2
+    # small generator for CPU speed; D stays full-size (96x96 hard-wired)
+    config.MODEL.G_N_RCB = 2
+    config.MODEL.G_N_CHANNEL = 16
+    return config
+
+
+@pytest.fixture(autouse=True)
+def _chdir(tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)  # results/ and tensorboard/ land in tmp
+    yield
+
+
+class TestWarmup:
+    def test_warmup_loss_decreases_and_checkpoints(self, tmp_path):
+        from srgan_st_tpu.train.warmup import warmup
+        from srgan_st_tpu.data.pipeline import SyntheticPatchSource
+        from srgan_st_tpu.losses.registry import build_warmup_criterions
+        from srgan_st_tpu.models.generator import Generator
+        from srgan_st_tpu.train.steps import (
+            create_generator_state,
+            make_g_optimizer,
+            make_warmup_step,
+        )
+
+        config = tiny_config(tmp_path, "warmup-smoke", gt_size=32, batch=8)
+
+        # (a) direct step loop: pixel loss must decrease on a repeated batch
+        g_model = Generator.from_config(config)
+        g_tx = make_g_optimizer(config, 10, milestones=False)
+        crits = build_warmup_criterions(config)
+        state = create_generator_state(config, g_model, g_tx)
+        step = jax.jit(make_warmup_step(config, g_model, crits, g_tx))
+        batch = next(SyntheticPatchSource(8, 32, seed=1).epoch())
+        first = None
+        for _ in range(8):
+            state, metrics = step(state, jnp.asarray(batch))
+            if first is None:
+                first = float(metrics["G_Loss"])
+        assert float(metrics["G_Loss"]) < first
+
+        # (b) full driver: runs, validates, writes checkpoints
+        warmup(config)
+        results = f"results/{config.EXP.NAME}"
+        assert os.path.exists(f"{results}/g_last.npz")
+        assert os.path.exists(f"{results}/g_best.npz")  # first epoch is best
+        assert glob.glob(f"tensorboard/{config.EXP.NAME}/*")
+
+    def test_checkpoint_roundtrip(self, tmp_path):
+        from srgan_st_tpu.train.checkpoint import load_params_npz, save_variables_npz
+
+        tree = {
+            "params": {"a": np.arange(6, dtype=np.float32).reshape(2, 3)},
+            "batch_stats": {"b": np.ones(4, np.float32)},
+        }
+        path = str(tmp_path / "w" / "g.npz")
+        save_variables_npz(path, tree)
+        loaded = load_params_npz(path)
+        np.testing.assert_array_equal(loaded["params"]["a"], tree["params"]["a"])
+
+        # tolerant merge: mismatched shape keeps target (reference utils.py:52-57)
+        target = {
+            "params": {"a": np.zeros((3, 3), np.float32), "c": np.ones(2, np.float32)},
+            "batch_stats": {"b": np.zeros(4, np.float32)},
+        }
+        merged = load_params_npz(path, target)
+        np.testing.assert_array_equal(merged["params"]["a"], target["params"]["a"])
+        np.testing.assert_array_equal(merged["params"]["c"], target["params"]["c"])
+        np.testing.assert_array_equal(merged["batch_stats"]["b"], tree["batch_stats"]["b"])
+
+
+class TestGANTrain:
+    def test_gan_steps_update_both_networks(self, tmp_path):
+        from srgan_st_tpu.losses.registry import build_criterions
+        from srgan_st_tpu.models.discriminator import Discriminator
+        from srgan_st_tpu.models.generator import Generator
+        from srgan_st_tpu.train.steps import (
+            create_gan_state,
+            make_d_optimizer,
+            make_g_optimizer,
+            make_gan_steps,
+        )
+
+        config = tiny_config(tmp_path, "gan-steps")
+        config.add_g_criterion("Pixel", {"kind": "pixel"}, 1.0)
+        config.add_g_criterion("ST", {"kind": "st"}, 1 / 3)
+
+        g_model = Generator.from_config(config)
+        d_model = Discriminator.from_config(config)
+        g_tx = make_g_optimizer(config, 10)
+        d_tx = make_d_optimizer(config, 10)
+        crits = build_criterions(config)
+        state = create_gan_state(config, g_model, d_model, g_tx, d_tx)
+        g_step, d_step = make_gan_steps(config, g_model, d_model, crits, g_tx, d_tx)
+        g_step = jax.jit(g_step)
+        d_step = jax.jit(d_step)
+
+        batch = np.random.default_rng(0).integers(0, 256, (8, 96, 96, 3), np.uint8)
+        g0 = jax.device_get(state.g_params["conv1"]["kernel"])
+        d0 = jax.device_get(state.d_params["conv0"]["kernel"])
+
+        state, sr, g_metrics = g_step(state, jnp.asarray(batch))
+        assert sr.shape == (8, 96, 96, 3)
+        assert set(g_metrics) == {"G_Loss", "G_Adversarial", "G_Pixel", "G_ST"}
+        assert np.isfinite(float(g_metrics["G_Loss"]))
+        # G updated, D params untouched by the G step (frozen-D semantics)
+        assert not np.allclose(jax.device_get(state.g_params["conv1"]["kernel"]), g0)
+        np.testing.assert_array_equal(
+            jax.device_get(state.d_params["conv0"]["kernel"]), d0
+        )
+
+        state, d_metrics = d_step(state, jnp.asarray(batch), sr)
+        assert set(d_metrics) == {"D_Loss", "D(GT)_Probability", "D(SR)_Probability"}
+        assert not np.allclose(jax.device_get(state.d_params["conv0"]["kernel"]), d0)
+        assert 0.0 <= float(d_metrics["D(GT)_Probability"]) <= 1.0
+
+    def test_full_train_driver(self, tmp_path):
+        from srgan_st_tpu.train.train import train
+
+        config = tiny_config(tmp_path, "gan-smoke", epochs=1, batches=3)
+        config.SOLVER.D_UPDATE_INTERVAL = 2
+        config.add_g_criterion("Pixel", {"kind": "pixel"}, 1.0)
+        train(config)
+        results = f"results/{config.EXP.NAME}"
+        for f in ["g_last.npz", "d_last.npz", "g_best.npz", "d_best.npz"]:
+            assert os.path.exists(f"{results}/{f}"), f
+
+    def test_warm_start_from_warmup(self, tmp_path):
+        from srgan_st_tpu.train.train import train
+        from srgan_st_tpu.train.checkpoint import save_variables_npz
+        from srgan_st_tpu.models.generator import Generator
+        from srgan_st_tpu.train.steps import create_generator_state, make_g_optimizer
+
+        config = tiny_config(tmp_path, "gan-warmstart", epochs=1, batches=2)
+        config.SOLVER.D_UPDATE_INTERVAL = 1
+        # fabricate warmup weights with a recognizable constant
+        g_model = Generator.from_config(config)
+        st = create_generator_state(config, g_model, make_g_optimizer(config, 1))
+        marked = jax.tree.map(lambda x: np.full_like(np.asarray(x), 0.123), st.g_params)
+        save_variables_npz(
+            "warmup_g.npz", {"params": marked, "batch_stats": jax.device_get(st.g_stats)}
+        )
+        config.MODEL.G_CONTINUE_FROM_WARMUP = True
+        config.MODEL.G_WARMUP_WEIGHTS = "warmup_g.npz"
+        state = train(config)
+        # training moved off the marker but the load happened (params differ
+        # from fresh init's random values by being near 0.123 scale)
+        kernel = np.asarray(state.g_params["conv3"]["bias"])
+        assert np.isfinite(kernel).all()
+
+
+class TestSharding:
+    def test_batch_is_sharded_over_mesh(self):
+        from srgan_st_tpu.parallel.mesh import make_mesh, shard_batch
+
+        mesh = make_mesh()
+        assert mesh.devices.size == 8
+        batch = np.zeros((16, 8, 8, 3), np.uint8)
+        sharded = shard_batch(batch, mesh)
+        assert len(sharded.sharding.device_set) == 8
+        # each device holds 1/8 of the batch
+        shard = sharded.addressable_shards[0]
+        assert shard.data.shape == (2, 8, 8, 3)
+
+    def test_warmup_step_multichip(self, tmp_path):
+        from srgan_st_tpu.data.pipeline import SyntheticPatchSource
+        from srgan_st_tpu.losses.registry import build_warmup_criterions
+        from srgan_st_tpu.models.generator import Generator
+        from srgan_st_tpu.parallel.mesh import make_mesh, replicated, shard_batch
+        from srgan_st_tpu.train.steps import (
+            create_generator_state,
+            make_g_optimizer,
+            make_warmup_step,
+        )
+
+        config = tiny_config(tmp_path, "shard-smoke", gt_size=32, batch=16)
+        mesh = make_mesh(config)
+        g_model = Generator.from_config(config)
+        g_tx = make_g_optimizer(config, 4, milestones=False)
+        crits = build_warmup_criterions(config)
+        state = jax.device_put(
+            create_generator_state(config, g_model, g_tx), replicated(mesh)
+        )
+        step = jax.jit(make_warmup_step(config, g_model, crits, g_tx))
+        batch = next(SyntheticPatchSource(16, 32, seed=2).epoch())
+        state, metrics = step(state, shard_batch(batch, mesh))
+        assert np.isfinite(float(metrics["G_Loss"]))
+        # params remain replicated after the update
+        leaf = state.g_params["conv1"]["kernel"]
+        assert len(leaf.sharding.device_set) == 8
