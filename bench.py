@@ -30,8 +30,8 @@ import time
 import numpy as np
 
 BASELINE_A100_PATCHES_PER_SEC = 300.0  # estimated; see module docstring
-WARMUP_ITERS = 10
-MEASURE_ITERS = 100
+WARMUP_ITERS = 2
+MEASURE_ITERS = 5
 
 
 def main() -> None:
@@ -41,12 +41,12 @@ def main() -> None:
     from srgan_st_tpu.losses.registry import build_criterions
     from srgan_st_tpu.models.discriminator import Discriminator
     from srgan_st_tpu.models.generator import Generator
-    from srgan_st_tpu.parallel.mesh import make_mesh, replicated, shard_batch
+    from srgan_st_tpu.parallel.mesh import make_mesh, replicated, shard_chunk
     from srgan_st_tpu.train.steps import (
         create_gan_state,
         make_d_optimizer,
         make_g_optimizer,
-        make_gan_steps,
+        make_gan_chunk_step,
     )
 
     config = Config()
@@ -66,37 +66,33 @@ def main() -> None:
     state = jax.device_put(
         create_gan_state(config, g_model, d_model, g_tx, d_tx), replicated(mesh)
     )
-    g_step, d_step = make_gan_steps(config, g_model, d_model, criterions, g_tx, d_tx)
-    g_step = jax.jit(g_step, donate_argnums=0)
-    d_step = jax.jit(d_step, donate_argnums=0)
+    # production path: one dispatch per D_UPDATE_INTERVAL batches, D update
+    # amortized at its true cadence inside the chunk
+    chunk_fn = jax.jit(
+        make_gan_chunk_step(config, g_model, d_model, criterions, g_tx, d_tx),
+        donate_argnums=0,
+        static_argnums=2,
+    )
 
     rng = np.random.default_rng(0)
-    batches = [
-        shard_batch(
-            rng.integers(0, 256, (config.DATA.BATCH_SIZE, 96, 96, 3), np.uint8), mesh
-        )
-        for _ in range(4)
-    ]
+    k = config.SOLVER.D_UPDATE_INTERVAL
+    chunk = shard_chunk(
+        rng.integers(0, 256, (k, config.DATA.BATCH_SIZE, 96, 96, 3), np.uint8), mesh
+    )
 
-    d_interval = config.SOLVER.D_UPDATE_INTERVAL
-
-    # warmup / compile
-    for i in range(WARMUP_ITERS):
-        state, sr, g_metrics = g_step(state, batches[i % len(batches)])
-        if i % d_interval == 0:
-            state, d_metrics = d_step(state, batches[i % len(batches)], sr)
+    # warmup / compile (timing note: state threads through every call, so
+    # the measured loop is a true data-dependent chain)
+    for _ in range(WARMUP_ITERS):
+        state, metrics = chunk_fn(state, chunk, True)
     jax.block_until_ready(state)
 
-    # measure steady state, D amortized at its true interval
     start = time.perf_counter()
-    for i in range(MEASURE_ITERS):
-        state, sr, g_metrics = g_step(state, batches[i % len(batches)])
-        if i % d_interval == 0:
-            state, d_metrics = d_step(state, batches[i % len(batches)], sr)
+    for _ in range(MEASURE_ITERS):
+        state, metrics = chunk_fn(state, chunk, True)
     jax.block_until_ready(state)
     elapsed = time.perf_counter() - start
 
-    patches = MEASURE_ITERS * config.DATA.BATCH_SIZE
+    patches = MEASURE_ITERS * k * config.DATA.BATCH_SIZE
     per_chip = patches / elapsed / n_chips
     print(
         json.dumps(

@@ -168,6 +168,11 @@ class Config:
         self.TPU.COMPUTE_DTYPE = "float32"  # "bfloat16" for mixed-precision conv compute
         self.TPU.DONATE = True              # donate state buffers in jitted steps
         self.TPU.REMAT = False              # jax.checkpoint the generator trunk
+        # Batches per device dispatch (lax.scan chunk). None -> the natural
+        # interval (D_UPDATE_INTERVAL for GAN, LOG_TRAIN_PERIOD for warmup);
+        # 1 -> per-batch stepping. Host dispatch of the ~700-leaf train state
+        # costs ~ms, so chunking matters at SR step sizes.
+        self.TPU.CHUNK_STEPS = None
 
     # ----------------------------------------------------------------------
     # Criterion registry mutators (reference config.py:122-131)

@@ -42,3 +42,9 @@ def replicated(mesh: Mesh) -> NamedSharding:
 def shard_batch(batch, mesh: Mesh, axis: str = "data"):
     """Device-put a host batch sharded over the data axis."""
     return jax.device_put(batch, batch_sharding(mesh, axis))
+
+
+def shard_chunk(chunk, mesh: Mesh, axis: str = "data"):
+    """Device-put a (K, B, ...) stacked chunk of batches, sharding the
+    batch dimension (axis 1) over the data axis."""
+    return jax.device_put(chunk, NamedSharding(mesh, P(None, axis)))

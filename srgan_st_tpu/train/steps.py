@@ -217,6 +217,57 @@ def make_gan_steps(config, g_model, d_model, criterions, g_tx, d_tx):
 
 
 # ---------------------------------------------------------------------------
+# Chunked (device-side-loop) steps.
+#
+# Per-dispatch overhead for a ~700-leaf GANTrainState pytree is ~5 ms on
+# this host — an order of magnitude more than the <1 ms step compute. A
+# `lax.scan` over a chunk of batches amortizes the dispatch to once per
+# chunk. Chunk = D_UPDATE_INTERVAL keeps exact reference semantics: the
+# D update and the TB log row both happen at batch 0 of every
+# 100-batch window (reference train.py:149,169).
+
+def make_warmup_chunk_step(config, g_model, criterions, g_tx):
+    step = make_warmup_step(config, g_model, criterions, g_tx)
+
+    def chunk_step(state: GANTrainState, gt_chunk):
+        """gt_chunk: (K, B, S, S, 3) uint8 -> (state, metrics of batch 0)."""
+        state, metrics0 = step(state, gt_chunk[0])
+
+        def body(st, gt):
+            st, _ = step(st, gt)
+            return st, None
+
+        state, _ = jax.lax.scan(body, state, gt_chunk[1:])
+        return state, metrics0
+
+    return chunk_step
+
+
+def make_gan_chunk_step(config, g_model, d_model, criterions, g_tx, d_tx):
+    g_step, d_step = make_gan_steps(config, g_model, d_model, criterions, g_tx, d_tx)
+
+    def chunk_step(state: GANTrainState, gt_chunk, do_d_update: bool = True):
+        """gt_chunk: (K, B, S, S, 3) uint8. Runs K generator updates and —
+        when do_d_update (the chunk starts on a D_UPDATE_INTERVAL boundary) —
+        ONE discriminator update on batch 0, reusing its sr (reference
+        train.py:149-164). Returns metrics of batch 0 (the logged batch).
+        `do_d_update` must be static under jit (static_argnums=2)."""
+        state, sr0, g_metrics = g_step(state, gt_chunk[0])
+        d_metrics = {}
+        if do_d_update:
+            state, d_metrics = d_step(state, gt_chunk[0], sr0)
+
+        def body(st, gt):
+            st, _, _ = g_step(st, gt)
+            return st, None
+
+        state, _ = jax.lax.scan(body, state, gt_chunk[1:])
+        return state, {**g_metrics, **d_metrics}
+
+    return chunk_step
+
+
+# ---------------------------------------------------------------------------
 
 def create_generator_state(config, g_model, g_tx, rng=None) -> GANTrainState:
     rng = rng if rng is not None else jax.random.key(config.DATA.SEED)

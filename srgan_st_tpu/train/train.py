@@ -22,7 +22,7 @@ from srgan_st_tpu.eval.validate import make_generator_apply, validate
 from srgan_st_tpu.losses.registry import build_criterions
 from srgan_st_tpu.models.discriminator import Discriminator
 from srgan_st_tpu.models.generator import Generator
-from srgan_st_tpu.parallel.mesh import make_mesh, replicated, shard_batch
+from srgan_st_tpu.parallel.mesh import make_mesh, replicated, shard_chunk
 from srgan_st_tpu.train.checkpoint import (
     CheckpointPolicy,
     load_params_npz,
@@ -33,9 +33,9 @@ from srgan_st_tpu.train.steps import (
     create_gan_state,
     make_d_optimizer,
     make_g_optimizer,
-    make_gan_steps,
+    make_gan_chunk_step,
 )
-from srgan_st_tpu.train.utils import make_test_pairs
+from srgan_st_tpu.train.utils import chunked_batches, make_test_pairs, resolve_chunk_steps
 
 
 def train(config):
@@ -70,9 +70,17 @@ def train(config):
 
     state = jax.device_put(state, replicated(mesh))
 
-    g_step_fn, d_step_fn = make_gan_steps(config, g_model, d_model, criterions, g_tx, d_tx)
-    g_step_fn = jax.jit(g_step_fn, donate_argnums=0)
-    d_step_fn = jax.jit(d_step_fn, donate_argnums=0)
+    # Device-side scan over D_UPDATE_INTERVAL batches per dispatch: the D
+    # update and the logged metrics land on the chunk's first batch, exactly
+    # the reference's cadence (train.py:149,169 — both default to 100).
+    chunk_size = resolve_chunk_steps(
+        config, config.SOLVER.D_UPDATE_INTERVAL, steps_per_epoch
+    )
+    chunk_fn = jax.jit(
+        make_gan_chunk_step(config, g_model, d_model, criterions, g_tx, d_tx),
+        donate_argnums=0,
+        static_argnums=2,
+    )
 
     writer = ExperimentWriter(config)
     results_dir = f"results/{config.EXP.NAME}"
@@ -86,31 +94,30 @@ def train(config):
         if restored is not None:
             state = jax.device_put(restored, replicated(mesh))
 
-    d_metrics = {}
     for epoch in range(config.EXP.START_EPOCH, config.EXP.N_EPOCHS):
         print(f"Beginning train epoch: {epoch+1}")
 
-        for batch_num, gt_batch in enumerate(source.epoch()):
-            batch = shard_batch(gt_batch, mesh)
-            state, sr, g_metrics = g_step_fn(state, batch)
+        batch_num = 0
+        d_vals = {}
+        for chunk in chunked_batches(source.epoch(), chunk_size):
+            do_d = batch_num % config.SOLVER.D_UPDATE_INTERVAL == 0
+            state, metrics = chunk_fn(state, shard_chunk(chunk, mesh), do_d)
 
-            # Discriminator update on the interval (reference train.py:149)
-            if batch_num % config.SOLVER.D_UPDATE_INTERVAL == 0:
-                state, d_metrics = d_step_fn(state, batch, sr)
-
-            if batch_num % config.LOG_TRAIN_PERIOD != 0:
-                continue
-            g_vals = jax.device_get(g_metrics)
-            d_vals = jax.device_get(d_metrics)
-            batches_done = batch_num + epoch * steps_per_epoch
-            for name, val in {**g_vals, **d_vals}.items():
-                writer.add_scalar(f"Train/{name}", val, batches_done)
-            print(
-                f"[Epoch {epoch+1}/{config.EXP.N_EPOCHS}] "
-                f"[Batch {batch_num}/{steps_per_epoch}] "
-                f"[D loss: {float(d_vals.get('D_Loss', float('nan')))}] "
-                f"[G loss: {float(g_vals['G_Loss'])}]"
-            )
+            if batch_num % config.LOG_TRAIN_PERIOD == 0:
+                vals = jax.device_get(metrics)
+                if "D_Loss" in vals:
+                    d_vals = {k: vals[k] for k in
+                              ("D_Loss", "D(GT)_Probability", "D(SR)_Probability")}
+                batches_done = batch_num + epoch * steps_per_epoch
+                for name, val in {**d_vals, **vals}.items():
+                    writer.add_scalar(f"Train/{name}", val, batches_done)
+                print(
+                    f"[Epoch {epoch+1}/{config.EXP.N_EPOCHS}] "
+                    f"[Batch {batch_num}/{steps_per_epoch}] "
+                    f"[D loss: {float(d_vals.get('D_Loss', float('nan')))}] "
+                    f"[G loss: {float(vals['G_Loss'])}]"
+                )
+            batch_num += len(chunk)
 
         # ---- validate (reference train.py:191-201)
         g_variables = jax.device_get(

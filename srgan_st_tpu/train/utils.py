@@ -8,6 +8,28 @@ import jax.numpy as jnp
 from srgan_st_tpu.ops.resize import resize_bicubic
 
 
+def chunked_batches(epoch_iter, chunk_size: int):
+    """Group an epoch's (B, ...) batches into (K, B, ...) stacked chunks for
+    the device-side scan steps (K = chunk_size; the final chunk may be
+    smaller — it compiles once per distinct size)."""
+    buf = []
+    for batch in epoch_iter:
+        buf.append(batch)
+        if len(buf) == chunk_size:
+            yield np.stack(buf)
+            buf.clear()
+    if buf:
+        yield np.stack(buf)
+
+
+def resolve_chunk_steps(config, interval: int, steps_per_epoch: int) -> int:
+    """Chunk size: TPU.CHUNK_STEPS override, else the natural interval
+    (D_UPDATE_INTERVAL for GAN, LOG_TRAIN_PERIOD for warmup), capped to the
+    epoch length."""
+    chunk = config.TPU.get("CHUNK_STEPS") or interval
+    return max(1, min(chunk, steps_per_epoch))
+
+
 def make_test_pairs(config):
     """Eval pairs: the configured paired test set, or — in synthetic mode —
     a handful of deterministic (gt, lr) pairs degraded with the exact

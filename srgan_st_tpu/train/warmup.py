@@ -17,15 +17,15 @@ from srgan_st_tpu.data.pipeline import make_train_source
 from srgan_st_tpu.eval.validate import make_generator_apply, validate
 from srgan_st_tpu.losses.registry import build_warmup_criterions
 from srgan_st_tpu.models.generator import Generator
-from srgan_st_tpu.parallel.mesh import make_mesh, replicated, shard_batch
+from srgan_st_tpu.parallel.mesh import make_mesh, replicated, shard_chunk
 from srgan_st_tpu.train.checkpoint import CheckpointPolicy, save_variables_npz
 from srgan_st_tpu.train.logging import ExperimentWriter
 from srgan_st_tpu.train.steps import (
     create_generator_state,
     make_g_optimizer,
-    make_warmup_step,
+    make_warmup_chunk_step,
 )
-from srgan_st_tpu.train.utils import make_test_pairs
+from srgan_st_tpu.train.utils import chunked_batches, make_test_pairs, resolve_chunk_steps
 
 
 def warmup(config):
@@ -44,8 +44,13 @@ def warmup(config):
     state = create_generator_state(config, g_model, g_tx, rng)
     state = jax.device_put(state, replicated(mesh))
 
-    step_fn = jax.jit(make_warmup_step(config, g_model, criterions, g_tx),
-                      donate_argnums=0)
+    # Device-side scan over LOG_TRAIN_PERIOD batches per dispatch; metrics
+    # come back for the chunk's first batch — the one the reference logs
+    # (warmup.py:101-110).
+    chunk_size = resolve_chunk_steps(config, config.LOG_TRAIN_PERIOD, steps_per_epoch)
+    chunk_fn = jax.jit(
+        make_warmup_chunk_step(config, g_model, criterions, g_tx), donate_argnums=0
+    )
 
     writer = ExperimentWriter(config)
     results_dir = f"results/{config.EXP.NAME}"
@@ -56,10 +61,10 @@ def warmup(config):
     for epoch in range(config.EXP.START_EPOCH, config.EXP.N_EPOCHS):
         print(f"Beginning train epoch: {epoch+1}")
 
-        metrics = {}
-        for batch_num, gt_batch in enumerate(source.epoch()):
-            batches_done += 1
-            state, metrics = step_fn(state, shard_batch(gt_batch, mesh))
+        for chunk in chunked_batches(source.epoch(), chunk_size):
+            batch_num = batches_done % steps_per_epoch
+            batches_done += len(chunk)
+            state, metrics = chunk_fn(state, shard_chunk(chunk, mesh))
 
             if batch_num % config.LOG_TRAIN_PERIOD != 0:
                 continue
