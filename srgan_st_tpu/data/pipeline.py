@@ -58,7 +58,8 @@ class TrainPatchSource:
         self.patch_size = patch_size
         self.num_workers = max(1, num_workers)
         self.prefetch = prefetch
-        self._rng = np.random.default_rng(seed)
+        self.seed = seed
+        self._epoch_counter = 0
         self._pool = (
             ThreadPoolExecutor(max_workers=self.num_workers)
             if self.num_workers > 1
@@ -81,10 +82,18 @@ class TrainPatchSource:
             out[i] = im[:s, :s]
         return out
 
-    def epoch(self):
+    def epoch(self, epoch_idx: int | None = None):
         """Yield uint8 (B, S, S, 3) batches for one shuffled epoch, with a
-        background prefetch pipeline."""
-        order = self._rng.permutation(len(self.files))
+        background prefetch pipeline.
+
+        The shuffle is keyed by (seed, epoch_idx) so a resumed run replays
+        the exact data order of the original run from any epoch boundary
+        (deterministic-resume; the reference's global-seed scheme can't do
+        this, SURVEY.md §5)."""
+        if epoch_idx is None:
+            epoch_idx = self._epoch_counter
+        self._epoch_counter = epoch_idx + 1
+        order = np.random.default_rng((self.seed, epoch_idx)).permutation(len(self.files))
         n_batches = len(self)
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()

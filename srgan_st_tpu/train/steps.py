@@ -230,14 +230,27 @@ def make_warmup_chunk_step(config, g_model, criterions, g_tx):
     step = make_warmup_step(config, g_model, criterions, g_tx)
 
     def chunk_step(state: GANTrainState, gt_chunk):
-        """gt_chunk: (K, B, S, S, 3) uint8 -> (state, metrics of batch 0)."""
+        """gt_chunk: (K, B, S, S, 3) uint8 -> (state, metrics of batch 0).
+
+        The scan carry holds only the leaves the warmup step mutates —
+        loop-invariant state (D params/opt) rides as closed-over constants,
+        not per-iteration carry copies."""
         state, metrics0 = step(state, gt_chunk[0])
 
-        def body(st, gt):
+        def body(carry, gt):
+            st = state.replace(
+                g_params=carry[0], g_stats=carry[1], g_opt=carry[2], step=carry[3]
+            )
             st, _ = step(st, gt)
-            return st, None
+            return (st.g_params, st.g_stats, st.g_opt, st.step), None
 
-        state, _ = jax.lax.scan(body, state, gt_chunk[1:])
+        carry, _ = jax.lax.scan(
+            body, (state.g_params, state.g_stats, state.g_opt, state.step),
+            gt_chunk[1:],
+        )
+        state = state.replace(
+            g_params=carry[0], g_stats=carry[1], g_opt=carry[2], step=carry[3]
+        )
         return state, metrics0
 
     return chunk_step
@@ -257,11 +270,28 @@ def make_gan_chunk_step(config, g_model, d_model, criterions, g_tx, d_tx):
         if do_d_update:
             state, d_metrics = d_step(state, gt_chunk[0], sr0)
 
-        def body(st, gt):
+        # Reduced scan carry: only what the G step mutates. D params are
+        # read by the adversarial term but never written inside the scan —
+        # closing over them keeps them as loop invariants instead of
+        # hundreds of MB of per-iteration carry copies; D's optimizer state
+        # never enters the loop at all.
+        def body(carry, gt):
+            st = state.replace(
+                g_params=carry[0], g_stats=carry[1], g_opt=carry[2],
+                d_stats=carry[3], step=carry[4],
+            )
             st, _, _ = g_step(st, gt)
-            return st, None
+            return (st.g_params, st.g_stats, st.g_opt, st.d_stats, st.step), None
 
-        state, _ = jax.lax.scan(body, state, gt_chunk[1:])
+        carry, _ = jax.lax.scan(
+            body,
+            (state.g_params, state.g_stats, state.g_opt, state.d_stats, state.step),
+            gt_chunk[1:],
+        )
+        state = state.replace(
+            g_params=carry[0], g_stats=carry[1], g_opt=carry[2],
+            d_stats=carry[3], step=carry[4],
+        )
         return state, {**g_metrics, **d_metrics}
 
     return chunk_step

@@ -99,7 +99,7 @@ def train(config):
 
         batch_num = 0
         d_vals = {}
-        for chunk in chunked_batches(source.epoch(), chunk_size):
+        for chunk in chunked_batches(source.epoch(epoch), chunk_size):
             do_d = batch_num % config.SOLVER.D_UPDATE_INTERVAL == 0
             state, metrics = chunk_fn(state, shard_chunk(chunk, mesh), do_d)
 

@@ -61,7 +61,7 @@ def warmup(config):
     for epoch in range(config.EXP.START_EPOCH, config.EXP.N_EPOCHS):
         print(f"Beginning train epoch: {epoch+1}")
 
-        for chunk in chunked_batches(source.epoch(), chunk_size):
+        for chunk in chunked_batches(source.epoch(epoch), chunk_size):
             batch_num = batches_done % steps_per_epoch
             batches_done += len(chunk)
             state, metrics = chunk_fn(state, shard_chunk(chunk, mesh))
