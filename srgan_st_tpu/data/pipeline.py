@@ -136,7 +136,8 @@ class SyntheticPatchSource:
     def __len__(self) -> int:
         return self.n_batches
 
-    def epoch(self):
+    def epoch(self, epoch_idx: int | None = None):
+        del epoch_idx  # synthetic data: every epoch is freshly drawn
         for _ in range(self.n_batches):
             yield self._rng.integers(
                 0, 256, (self.batch_size, self.patch_size, self.patch_size, 3),
