@@ -55,6 +55,12 @@ def main(argv=None) -> None:
     parser.add_argument("--output_size", type=int, default=96)
     parser.add_argument("--step_size", type=int, default=96)
     parser.add_argument("--num_workers", type=int, default=16)
+    parser.add_argument(
+        "--pack", action="store_true",
+        help="additionally write output_dir/patches.pack.npy — a single "
+        "memory-mappable uint8 archive the training pipeline reads "
+        "decode-free (preferred for multi-chip input throughput)",
+    )
     args = parser.parse_args(argv)
 
     os.makedirs(args.output_dir, exist_ok=True)
@@ -66,6 +72,29 @@ def main(argv=None) -> None:
     with multiprocessing.Pool(args.num_workers) as pool:
         counts = pool.map(_worker, work)
     print(f"tiled {len(names)} images into {sum(counts)} patches")
+
+    if args.pack:
+        pack_patches(args.output_dir, args.output_size)
+
+
+def pack_patches(patch_dir: str, patch_size: int) -> str:
+    """Pack all patch images in a directory into patches.pack.npy
+    ((N, S, S, 3) uint8, memory-mappable, sorted-filename order)."""
+    names = sorted(
+        n for n in os.listdir(patch_dir)
+        if n.lower().endswith((".png", ".jpg", ".jpeg", ".bmp"))
+    )
+    out_path = os.path.join(patch_dir, "patches.pack.npy")
+    pack = np.lib.format.open_memmap(
+        out_path, mode="w+", dtype=np.uint8,
+        shape=(len(names), patch_size, patch_size, 3),
+    )
+    for i, n in enumerate(names):
+        with Image.open(os.path.join(patch_dir, n)) as im:
+            pack[i] = np.asarray(im.convert("RGB"), np.uint8)[:patch_size, :patch_size]
+    pack.flush()
+    print(f"packed {len(names)} patches into {out_path}")
+    return out_path
 
 
 if __name__ == "__main__":

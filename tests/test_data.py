@@ -1,0 +1,91 @@
+"""Data pipeline tests: tiling CLI, pack format, sources, deterministic
+per-epoch order."""
+
+import os
+
+import numpy as np
+from PIL import Image
+
+from srgan_st_tpu.data.pipeline import (
+    PackedPatchSource,
+    SyntheticPatchSource,
+    TrainPatchSource,
+    make_train_source,
+)
+from srgan_st_tpu.data.prepare_dataset import main as prepare_main
+
+
+def _write_images(d, n=3, h=200, w=300, rng=None):
+    rng = rng or np.random.default_rng(0)
+    os.makedirs(d, exist_ok=True)
+    for i in range(n):
+        img = (rng.random((h, w, 3)) * 255).astype(np.uint8)
+        Image.fromarray(img).save(os.path.join(d, f"im{i}.png"))
+
+
+class TestPrepareDataset:
+    def test_tile_counts_and_naming(self, tmp_path, rng):
+        src = str(tmp_path / "orig")
+        out = str(tmp_path / "train")
+        _write_images(src, n=2, h=200, w=300, rng=rng)
+        prepare_main([
+            "--input_dir", src, "--output_dir", out,
+            "--output_size", "96", "--step_size", "96", "--num_workers", "2",
+        ])
+        files = sorted(os.listdir(out))
+        # 200x300 on a 96-raster: 2 rows x 3 cols = 6 per image
+        assert len(files) == 12
+        assert files[0] == "im0_0001.png"
+        with Image.open(os.path.join(out, files[0])) as im:
+            assert im.size == (96, 96)
+
+    def test_pack(self, tmp_path, rng):
+        src = str(tmp_path / "orig")
+        out = str(tmp_path / "train")
+        _write_images(src, n=1, h=192, w=192, rng=rng)
+        prepare_main([
+            "--input_dir", src, "--output_dir", out, "--num_workers", "1", "--pack",
+        ])
+        pack = np.load(os.path.join(out, "patches.pack.npy"), mmap_mode="r")
+        assert pack.shape == (4, 96, 96, 3) and pack.dtype == np.uint8
+        # pack contents match the individual patch files
+        with Image.open(os.path.join(out, "im0_0001.png")) as im:
+            np.testing.assert_array_equal(pack[0], np.asarray(im))
+
+
+class TestSources:
+    def test_packed_source_prefers_pack(self, tmp_path, rng):
+        from srgan_st_tpu.core.config import Config
+
+        src = str(tmp_path / "orig")
+        out = str(tmp_path / "train")
+        _write_images(src, n=2, h=192, w=192, rng=rng)
+        prepare_main(["--input_dir", src, "--output_dir", out,
+                      "--num_workers", "1", "--pack"])
+        config = Config()
+        config.DATA.TRAIN_GT_IMAGES_DIR = out
+        config.DATA.BATCH_SIZE = 4
+        source = make_train_source(config)
+        assert isinstance(source, PackedPatchSource)
+        assert len(source) == 2  # 8 patches / batch 4
+        batches = list(source.epoch(0))
+        assert len(batches) == 2
+        assert batches[0].shape == (4, 96, 96, 3)
+
+    def test_deterministic_epoch_order(self, tmp_path, rng):
+        out = str(tmp_path / "train")
+        _write_images(out, n=8, h=96, w=96, rng=rng)
+        a = TrainPatchSource(out, batch_size=4, seed=7, num_workers=1)
+        b = TrainPatchSource(out, batch_size=4, seed=7, num_workers=1)
+        for ea, eb in zip(a.epoch(3), b.epoch(3)):
+            np.testing.assert_array_equal(ea, eb)
+        # different epochs differ
+        a2 = list(TrainPatchSource(out, batch_size=4, seed=7, num_workers=1).epoch(4))
+        b2 = list(TrainPatchSource(out, batch_size=4, seed=7, num_workers=1).epoch(3))
+        assert any(not np.array_equal(x, y) for x, y in zip(a2, b2))
+
+    def test_synthetic_deterministic(self):
+        a = list(SyntheticPatchSource(2, 16, n_batches=3, seed=1).epoch())
+        b = list(SyntheticPatchSource(2, 16, n_batches=3, seed=1).epoch())
+        for x, y in zip(a, b):
+            np.testing.assert_array_equal(x, y)
