@@ -69,7 +69,9 @@ def main(argv=None) -> None:
         (n, args.input_dir, args.output_dir, args.output_size, args.step_size)
         for n in names
     ]
-    with multiprocessing.Pool(args.num_workers) as pool:
+    # spawn, not fork: callers may have a multithreaded jax runtime loaded
+    ctx = multiprocessing.get_context("spawn")
+    with ctx.Pool(args.num_workers) as pool:
         counts = pool.map(_worker, work)
     print(f"tiled {len(names)} images into {sum(counts)} patches")
 
