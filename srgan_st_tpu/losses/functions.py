@@ -9,6 +9,7 @@ nn.Modules. All image tensors are NHWC in [0, 1].
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from srgan_st_tpu.ops.color import imagenet_normalize, rgb_to_grayscale
@@ -47,14 +48,32 @@ def adversarial_loss(d_logits, target):
 
 
 # ---------------------------------------------------------------------------
-def _buddy_select(p1, p2, p2_cat, alpha, beta, dist_norm):
+def _use_pallas() -> bool:
+    import jax
+
+    return jax.default_backend() == "tpu"
+
+
+def _buddy_select(p1, p2, p2_cat, alpha, beta, dist_norm, pallas=None):
     """Shared best-buddy machinery (reference loss.py:132-137): score the sr
     patches and gt patches against the candidate bank, take the bank entry
-    minimizing the combined score."""
+    minimizing the combined score.
+
+    The selection carries no gradients (argmin is non-differentiable and the
+    bank derives from ground truth — the reference's gather backward is dead
+    code), so on TPU it runs as the fused VMEM-resident Pallas kernel
+    (srgan_st_tpu/kernels/buddy_select.py); `pallas=False` forces the XLA
+    path (used on CPU and for parity tests)."""
+    if pallas is None:
+        pallas = _use_pallas()
+    if pallas:
+        from srgan_st_tpu.kernels.buddy_select import buddy_select
+
+        return buddy_select(p1, p2, p2_cat, alpha, beta, dist_norm)
     score = alpha * batch_pairwise_distance(p1, p2_cat, dist_norm)
     score = score + beta * batch_pairwise_distance(p2, p2_cat, dist_norm)
     ind = jnp.argmin(score, axis=2)  # (B, N)
-    return jnp.take_along_axis(p2_cat, ind[..., None], axis=1)
+    return jax.lax.stop_gradient(jnp.take_along_axis(p2_cat, ind[..., None], axis=1))
 
 
 def best_buddy_loss(
