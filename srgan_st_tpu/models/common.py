@@ -24,6 +24,33 @@ class PReLU(nn.Module):
         return jnp.where(x >= 0, x, alpha * x)
 
 
+class TapConv(nn.Module):
+    """SAME conv via the fused tap-decomposed Pallas kernel
+    (kernels/tap_conv.py) — used for the generator's 64->3 reconstruction
+    conv where a direct conv wastes 125/128 MXU lanes. Dispatches to a
+    direct XLA conv off-TPU. Parameter tree is identical to nn.Conv
+    (kernel HWIO + bias), so checkpoints are interchangeable."""
+
+    features: int
+    kernel_size: tuple[int, int]
+    dtype: jnp.dtype = jnp.float32
+    force: str | None = None  # None=auto, "pallas", "xla", "interpret"
+
+    @nn.compact
+    def __call__(self, x):
+        from srgan_st_tpu.kernels.tap_conv import tap_conv
+
+        kh, kw = self.kernel_size
+        kernel = self.param(
+            "kernel", kaiming_normal, (kh, kw, x.shape[-1], self.features)
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        return tap_conv(
+            x.astype(self.dtype), kernel.astype(self.dtype),
+            bias.astype(self.dtype), self.force,
+        )
+
+
 def pixel_shuffle(x: jnp.ndarray, factor: int) -> jnp.ndarray:
     """Depth-to-space on NHWC, matching torch nn.PixelShuffle semantics.
 

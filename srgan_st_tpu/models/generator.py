@@ -28,7 +28,7 @@ import math
 import jax.numpy as jnp
 import flax.linen as nn
 
-from srgan_st_tpu.models.common import PReLU, kaiming_normal, pixel_shuffle
+from srgan_st_tpu.models.common import PReLU, TapConv, kaiming_normal, pixel_shuffle
 
 
 class ResidualConvBlock(nn.Module):
@@ -83,6 +83,7 @@ class Generator(nn.Module):
     dtype: jnp.dtype = jnp.float32
     axis_name: str | None = None
     remat: bool = False
+    conv3_mode: str | None = None  # None=auto (pallas on TPU), "xla", "interpret"
 
     @classmethod
     def from_config(cls, config, dtype=None, axis_name=None):
@@ -140,9 +141,13 @@ class Generator(nn.Module):
         else:
             raise ValueError(f"unsupported upscale factor {self.upscale}")
 
-        # Reconstruction (model.py:127) + clamp (model.py:150)
-        x = nn.Conv(
-            self.out_channels, (9, 9), padding=4, kernel_init=kaiming_normal,
-            bias_init=nn.initializers.zeros, dtype=self.dtype, name="conv3",
+        # Reconstruction (model.py:127) + clamp (model.py:150). The 64->3
+        # conv runs as the fused Pallas tap kernel on TPU (kernels/
+        # tap_conv.py) — as a direct conv its N=3 output uses 3/128 MXU
+        # lanes and costs ~3 ms fwd+bwd per batch-16 step, the profiled hot
+        # spot of GAN training. conv3_mode: None=auto, "xla"=direct conv.
+        x = TapConv(
+            self.out_channels, (9, 9), dtype=self.dtype,
+            force=self.conv3_mode, name="conv3",
         )(x)
         return jnp.clip(x.astype(jnp.float32), 0.0, 1.0)
