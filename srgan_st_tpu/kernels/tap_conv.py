@@ -25,13 +25,16 @@ Kernel design (one batch element per grid step, everything VMEM-resident):
 Inputs are taken in bfloat16 (matching XLA's default bf16 MXU passes for
 fp32 convs); accumulation is fp32.
 
-STATUS (round 1): numerics verified (fwd maxdiff ~2e-6, wgrad rel ~5e-7 vs
-XLA at shapes up to 48^2/C64), but the Mosaic compile of the fwd kernel
-still fails at the full training shape (16, 96, 96, 64) — VMEM pressure
-from lane-padded (.., 27->128) intermediates plus an opaque remote-compile
-crash. The pallas path is therefore OPT-IN (force="pallas"); the default
-dispatch uses XLA's direct conv. Next step: tile H inside the kernel and
-build D9 into a scratch ref instead of lane-concat.
+STATUS (round 1): compiles and is numerically exact at the full training
+shape (fwd maxdiff ~2e-5, wgrad rel ~2e-6 vs XLA) after H-tiling,
+dy-grouping and W-chunking workarounds for Mosaic limits — but it is NOT
+faster: the VPU shift-add epilogue operates on 128-lane-padded registers
+with only N=3 useful lanes (42x waste), measuring 35 ms fwd / 10 ms wgrad
+vs XLA's 0.9 / 0.8 ms. The MXU analysis in this docstring is right but the
+epilogue layout is wrong; a faster variant must keep taps lane-packed and
+reduce them with a second MXU contraction, or transpose to channels-as-
+sublanes. Until then the pallas path is OPT-IN (force="pallas") and the
+default dispatch uses XLA's direct conv.
 """
 
 from __future__ import annotations
@@ -50,26 +53,31 @@ _DY_GROUP = 3  # kernel rows per grid step; >~27 shifted lane-slices per
                # rows are split over 3 revisits of the output block
 
 
-def _fwd_kernel(x_ref, w_ref, out_ref, *, k, h, w, c, n):
+_TH = 24  # output rows per grid step (VMEM working set ~3 MB at C=64, W=96)
+
+
+def _fwd_kernel(x_ref, w_ref, out_ref, *, k, th, w, c, n):
     """x_ref: (1, (H+2r)*(W+2r), C) bf16 — the padded image kept 2D so the
-    per-dy row window is ONE contiguous sublane slice (rows dy*(W+2r) ..
-    (dy+H)*(W+2r)), avoiding relayout copies; w_ref: (K, C, K*N) bf16;
-    out_ref: (1, H, W, N) f32, accumulated over the dy-group grid dim.
-    Requires (W+2r) % 8 == 0 so the 2D->3D z reshape preserves tiling."""
-    g = pl.program_id(1)
+    per-(dy, row-tile) window is ONE contiguous sublane slice, avoiding
+    relayout copies; w_ref: (K, C, K*N) bf16; out_ref: (1, TH, W, N) f32
+    row-tile block, accumulated over the dy-group grid dim. Requires
+    (W+2r) % 8 == 0 so the 2D->3D z reshape preserves tiling."""
+    ht = pl.program_id(1)
+    g = pl.program_id(2)
     wpad = w + 2 * (k // 2)
 
     @pl.when(g == 0)
     def _():
-        out_ref[0] = jnp.zeros((h, w, n), jnp.float32)
+        out_ref[0] = jnp.zeros((th, w, n), jnp.float32)
 
-    acc = jnp.zeros((h, w, n), jnp.float32)
+    acc = jnp.zeros((th, w, n), jnp.float32)
     for i in range(_DY_GROUP):
         dy = g * _DY_GROUP + i  # traced; the grid dim supplies the group
-        xs = x_ref[0, pl.ds(dy * wpad, h * wpad), :]  # (H*(W+2r), C)
+        # rows [dy + ht*TH, dy + ht*TH + TH) of the padded image
+        xs = x_ref[0, pl.ds((dy + ht * th) * wpad, th * wpad), :]
         z = jnp.dot(
             xs, w_ref[dy], preferred_element_type=jnp.float32
-        ).reshape(h, wpad, k * n)
+        ).reshape(th, wpad, k * n)
         for dx in range(k):
             acc = acc + z[:, dx:dx + w, dx * n:(dx + 1) * n]
     out_ref[0] += acc
@@ -103,11 +111,53 @@ def _wgrad_kernel(x_ref, g_ref, dw_ref, *, k, h, w, c, n):
         )
 
 
-def _pallas_supported(wid: int, k: int) -> bool:
-    return k % _DY_GROUP == 0 and (wid + 2 * (k // 2)) % 8 == 0
+_WCHUNK = 40  # Mosaic rejects the kernel once z's second-minor extent
+              # (W + 2r) reaches ~64, so wider images are processed in
+              # 40-column chunks (48-wide windows) with slide-inward
+              # receptive-field halos (exact — same scheme as eval/tiled.py)
+
+
+def _pallas_supported(h: int, wid: int, k: int) -> bool:
+    if k % _DY_GROUP or h % _TH:
+        return False
+    r = k // 2
+    if wid <= _WCHUNK + 2 * r:
+        return (wid + 2 * r) % 8 == 0
+    # chunked path: fixed (WCHUNK + 2r)-wide windows slid inward
+    return (_WCHUNK + 2 * r) % 8 == 0
+
+
+def _w_windows(wid: int, r: int):
+    """(window_start, out_start, out_width, local_offset) per chunk."""
+    win_w = _WCHUNK + 2 * r
+    out = []
+    for cs in range(0, wid, _WCHUNK):
+        w0 = min(max(cs - r, 0), wid - win_w)
+        out.append((w0, cs, min(_WCHUNK, wid - cs), cs - w0))
+    return out
 
 
 def _pallas_fwd(x, w, k, interpret=False):
+    bsz, h, wid, c = x.shape
+    r = k // 2
+    if wid > _WCHUNK + 2 * r:
+        # slide-inward W-chunks, stacked into the batch dim: one kernel
+        # call, exact at chunk seams (see _w_windows); crops concat after
+        windows = _w_windows(wid, r)
+        win_w = _WCHUNK + 2 * r
+        stacked = jnp.concatenate(
+            [x[:, :, w0:w0 + win_w, :] for w0, _, _, _ in windows], axis=0
+        )
+        out = _pallas_fwd_single(stacked, w, k, interpret)  # (nw*B, H, win_w, N)
+        parts = [
+            out[i * bsz:(i + 1) * bsz, :, off:off + cw, :]
+            for i, (_, _, cw, off) in enumerate(windows)
+        ]
+        return jnp.concatenate(parts, axis=2)
+    return _pallas_fwd_single(x, w, k, interpret)
+
+
+def _pallas_fwd_single(x, w, k, interpret=False):
     bsz, h, wid, c = x.shape
     n = w.shape[-1]
     r = k // 2
@@ -116,17 +166,17 @@ def _pallas_fwd(x, w, k, interpret=False):
     xpad2d = xpad.reshape(bsz, (h + 2 * r) * wpad, c)
     # (K, C, K*N): taps of one kernel row stacked into lanes
     wide = w.astype(jnp.bfloat16).transpose(0, 2, 1, 3).reshape(k, c, k * n)
-    kernel = functools.partial(_fwd_kernel, k=k, h=h, w=wid, c=c, n=n)
+    kernel = functools.partial(_fwd_kernel, k=k, th=_TH, w=wid, c=c, n=n)
     return pl.pallas_call(
         kernel,
-        grid=(bsz, k // _DY_GROUP),
+        grid=(bsz, h // _TH, k // _DY_GROUP),
         in_specs=[
-            pl.BlockSpec((1, (h + 2 * r) * wpad, c), lambda i, g: (i, 0, 0),
+            pl.BlockSpec((1, (h + 2 * r) * wpad, c), lambda i, t, g: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((k, c, k * n), lambda i, g: (0, 0, 0),
+            pl.BlockSpec((k, c, k * n), lambda i, t, g: (0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, h, wid, n), lambda i, g: (i, 0, 0, 0),
+        out_specs=pl.BlockSpec((1, _TH, wid, n), lambda i, t, g: (i, t, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((bsz, h, wid, n), jnp.float32),
         interpret=interpret,
@@ -134,6 +184,33 @@ def _pallas_fwd(x, w, k, interpret=False):
 
 
 def _pallas_wgrad(x, g, k, interpret=False):
+    bsz, h, wid, c = x.shape
+    n = g.shape[-1]
+    r = k // 2
+    if wid > _WCHUNK + 2 * r:
+        # same W-chunking as the forward: windows stack into the batch dim
+        # and the output accumulates across the whole grid — exact at seams
+        # because each g chunk is zero-placed at its window-local offset
+        windows = _w_windows(wid, r)
+        win_w = _WCHUNK + 2 * r
+        x_stack = jnp.concatenate(
+            [x[:, :, w0:w0 + win_w, :] for w0, _, _, _ in windows], axis=0
+        )
+        g_stack = jnp.concatenate(
+            [
+                jnp.pad(
+                    g[:, :, cs:cs + cw, :],
+                    ((0, 0), (0, 0), (off, win_w - off - cw), (0, 0)),
+                )
+                for _, cs, cw, off in windows
+            ],
+            axis=0,
+        )
+        return _pallas_wgrad_single(x_stack, g_stack, k, interpret)
+    return _pallas_wgrad_single(x, g, k, interpret)
+
+
+def _pallas_wgrad_single(x, g, k, interpret=False):
     bsz, h, wid, c = x.shape
     n = g.shape[-1]
     r = k // 2
@@ -174,7 +251,7 @@ def tap_conv(x, w, b, force: str | None = None):
 
 def _tap_conv_fwd_impl(x, w, b, force):
     k = w.shape[0]
-    supported = _pallas_supported(x.shape[2], k)
+    supported = _pallas_supported(x.shape[1], x.shape[2], k)
     use_pallas = supported and force in ("pallas", "interpret")
     if use_pallas:
         out = _pallas_fwd(x, w, k=k, interpret=(force == "interpret"))
@@ -196,7 +273,7 @@ def _tap_conv_vjp_bwd(force, res, g):
     # (C_in=N small, C_out=C: an MXU-efficient GEMM — stays in XLA)
     w_rot = w[::-1, ::-1].transpose(0, 1, 3, 2)  # (K, K, N, C)
     dx = _direct_conv(g.astype(x.dtype), w_rot.astype(x.dtype))
-    use_pallas = _pallas_supported(x.shape[2], k) and force in ("pallas", "interpret")
+    use_pallas = _pallas_supported(x.shape[1], x.shape[2], k) and force in ("pallas", "interpret")
     if use_pallas:
         dw = _pallas_wgrad(x, g32, k, interpret=(force == "interpret"))
     else:
