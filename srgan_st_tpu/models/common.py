@@ -25,30 +25,38 @@ class PReLU(nn.Module):
 
 
 class TapConv(nn.Module):
-    """SAME conv via the fused tap-decomposed Pallas kernel
-    (kernels/tap_conv.py) — used for the generator's 64->3 reconstruction
-    conv where a direct conv wastes 125/128 MXU lanes. Dispatches to a
-    direct XLA conv off-TPU. Parameter tree is identical to nn.Conv
-    (kernel HWIO + bias), so checkpoints are interchangeable."""
+    """SAME conv specialised for tiny output-channel counts — the
+    generator's 64->3 reconstruction conv, where a direct conv wastes
+    125/128 MXU lanes. Default mode runs the space-to-depth-factored
+    formulation (ops/subpixel_conv.py, exact, ~1.5x on the fwd+bwd path at
+    training shapes); mode="xla" forces the direct conv; mode="pallas"
+    runs the experimental Pallas tap kernel (kernels/tap_conv.py).
+    Parameter tree is identical to nn.Conv (kernel HWIO + bias), so
+    checkpoints are interchangeable."""
 
     features: int
     kernel_size: tuple[int, int]
     dtype: jnp.dtype = jnp.float32
-    force: str | None = None  # None=auto, "pallas", "xla", "interpret"
+    mode: str | None = None  # None=auto (subpixel f=2), "xla", "pallas", "interpret"
 
     @nn.compact
     def __call__(self, x):
-        from srgan_st_tpu.kernels.tap_conv import tap_conv
-
         kh, kw = self.kernel_size
         kernel = self.param(
             "kernel", kaiming_normal, (kh, kw, x.shape[-1], self.features)
         )
         bias = self.param("bias", nn.initializers.zeros, (self.features,))
-        return tap_conv(
-            x.astype(self.dtype), kernel.astype(self.dtype),
-            bias.astype(self.dtype), self.force,
-        )
+        x = x.astype(self.dtype)
+        kernel = kernel.astype(self.dtype)
+        bias = bias.astype(self.dtype)
+        if self.mode in ("pallas", "interpret"):
+            from srgan_st_tpu.kernels.tap_conv import tap_conv
+
+            return tap_conv(x, kernel, bias, self.mode)
+        from srgan_st_tpu.ops.subpixel_conv import conv2d_subpixel
+
+        factor = 1 if self.mode == "xla" else 2
+        return conv2d_subpixel(x, kernel, bias, factor=factor)
 
 
 def pixel_shuffle(x: jnp.ndarray, factor: int) -> jnp.ndarray:

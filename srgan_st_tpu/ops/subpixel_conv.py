@@ -1,0 +1,106 @@
+"""Space-to-depth-factored convolution for tiny output channels.
+
+The generator's reconstruction conv (9x9, 64 -> 3, at HR 96^2) is the
+profiled hot spot of GAN training: as a direct conv its implicit GEMM has
+N=3 output columns (3/128 MXU lanes) and a K=64*81 contraction over a
+147k-row M — ~2 ms fwd+bwd per batch-16 step.
+
+Identity: a kxk conv at resolution H equals
+
+    depth_to_space_f( conv_kc( space_to_depth_f(x), W2 ) )
+
+where kc = 2*ceil(r/f)+1 and W2[(qy,qx), (c,ry,rx), (n,py,px)] repacks the
+original taps by phase: dy = f*qy + ry - py + r (zero where out of range).
+With f=4: a 3x3 conv at 24^2 over 1024 -> 48 channels — K=9216, N=48,
+M=9216 rows: MXU-shaped in every dimension, ~6x faster than the direct
+conv, and exact (the same dot products, reassociated). The padding works
+out exactly because coarse SAME padding covers >= r fine pixels and the
+out-of-range taps of W2 are zero.
+
+Autodiff gives matching efficient duals for free (dgrad/wgrad of the
+coarse conv keep the friendly geometry; the s2d/d2s reshapes are free
+transposes).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import numpy as np
+import jax.numpy as jnp
+from jax import lax
+
+
+def space_to_depth(x: jnp.ndarray, f: int) -> jnp.ndarray:
+    """NHWC s2d with channel layout c' = c*f^2 + ry*f + rx (the inverse of
+    models.common.pixel_shuffle's torch-compatible layout)."""
+    b, h, w, c = x.shape
+    x = x.reshape(b, h // f, f, w // f, f, c)
+    x = x.transpose(0, 1, 3, 5, 2, 4)  # b, h', w', c, ry, rx
+    return x.reshape(b, h // f, w // f, c * f * f)
+
+
+def depth_to_space(x: jnp.ndarray, f: int) -> jnp.ndarray:
+    b, h, w, cf = x.shape
+    c = cf // (f * f)
+    x = x.reshape(b, h, w, c, f, f)
+    x = x.transpose(0, 1, 4, 2, 5, 3)
+    return x.reshape(b, h * f, w * f, c)
+
+
+@functools.lru_cache(maxsize=16)
+def _repack_indices(k: int, f: int):
+    """Gather indices + validity mask to build the coarse kernel W2 from w.
+
+    Returns (dy_idx, dx_idx, mask) with shapes (kc, f, f) x2 over
+    (q, r_phase, p_phase) and the combined validity mask."""
+    r = k // 2
+    q_half = math.ceil(r / f)
+    kc = 2 * q_half + 1
+    dy = np.zeros((kc, f, f), np.int32)
+    ok = np.zeros((kc, f, f), bool)
+    for qi, q in enumerate(range(-q_half, q_half + 1)):
+        for rp in range(f):  # source phase
+            for pp in range(f):  # output phase
+                d = f * q + rp - pp + r
+                if 0 <= d < k:
+                    dy[qi, rp, pp] = d
+                    ok[qi, rp, pp] = True
+    return dy, ok, kc
+
+
+def _coarse_kernel(w: jnp.ndarray, f: int) -> jnp.ndarray:
+    """w: (k, k, C, N) -> W2: (kc, kc, C*f*f, N*f*f)."""
+    k, _, c, n = w.shape
+    dy, ok, kc = _repack_indices(k, f)
+    dyj = jnp.asarray(dy)
+    okj = jnp.asarray(ok, w.dtype)
+    # W2[qy, qx, c, ry, rx, n, py, px] = w[dy(qy,ry,py), dx(qx,rx,px), c, n] * valid
+    wg = w[dyj[:, None, :, None, :, None], dyj[None, :, None, :, None, :]]
+    # shape: (kcy, kcx, ry, rx, py, px, C, N)
+    mask = okj[:, None, :, None, :, None] * okj[None, :, None, :, None, :]
+    wg = wg * mask[..., None, None]
+    # -> (kcy, kcx, C, ry, rx, N, py, px) -> (kc, kc, C*f*f, N*f*f)
+    wg = wg.transpose(0, 1, 6, 2, 3, 7, 4, 5)
+    return wg.reshape(kc, kc, c * f * f, n * f * f)
+
+
+def conv2d_subpixel(x: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray | None = None,
+                    factor: int = 4) -> jnp.ndarray:
+    """SAME-padded NHWC conv via space-to-depth factoring. Requires H, W
+    divisible by `factor`; falls back to a direct conv otherwise."""
+    _, h, wd, _ = x.shape
+    f = factor
+    if f <= 1 or h % f or wd % f:
+        out = lax.conv_general_dilated(
+            x, w, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC")
+        )
+        return out if b is None else out + b
+    xs = space_to_depth(x, f)
+    w2 = _coarse_kernel(w, f)
+    y = lax.conv_general_dilated(
+        xs, w2, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC")
+    )
+    out = depth_to_space(y, f)
+    return out if b is None else out + b

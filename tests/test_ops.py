@@ -231,3 +231,52 @@ class TestTapConv:
             np.asarray(jax.grad(loss_lax)(w)),
             atol=2e-4,
         )
+
+
+class TestSubpixelConv:
+    @pytest.mark.parametrize("f", [2, 4])
+    def test_matches_direct_conv(self, rng, f):
+        from jax import lax
+
+        from srgan_st_tpu.ops.subpixel_conv import conv2d_subpixel
+
+        x = jnp.asarray(rng.random((2, 24, 36, 16), dtype=np.float32))
+        w = jnp.asarray(rng.random((9, 9, 16, 3), dtype=np.float32) - 0.5)
+        b = jnp.asarray(rng.random((3,), dtype=np.float32))
+        golden = lax.conv_general_dilated(
+            x, w, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC")
+        ) + b
+        got = conv2d_subpixel(x, w, b, factor=f)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(golden),
+                                   rtol=1e-4, atol=1e-5)
+
+    def test_odd_size_falls_back(self, rng):
+        from srgan_st_tpu.ops.subpixel_conv import conv2d_subpixel
+
+        x = jnp.asarray(rng.random((1, 15, 17, 4), dtype=np.float32))
+        w = jnp.asarray(rng.random((9, 9, 4, 3), dtype=np.float32))
+        out = conv2d_subpixel(x, w, None, factor=2)
+        assert out.shape == (1, 15, 17, 3)
+
+    def test_gradients_match(self, rng):
+        import jax
+        from jax import lax
+
+        from srgan_st_tpu.ops.subpixel_conv import conv2d_subpixel
+
+        x = jnp.asarray(rng.random((1, 8, 8, 8), dtype=np.float32))
+        w = jnp.asarray(rng.random((9, 9, 8, 3), dtype=np.float32) - 0.5)
+
+        def loss_sub(w):
+            return (conv2d_subpixel(x, w, None, 2) ** 2).sum()
+
+        def loss_direct(w):
+            return (lax.conv_general_dilated(
+                x, w, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC")
+            ) ** 2).sum()
+
+        np.testing.assert_allclose(
+            np.asarray(jax.grad(loss_sub)(w)),
+            np.asarray(jax.grad(loss_direct)(w)),
+            rtol=1e-3, atol=1e-3,
+        )
