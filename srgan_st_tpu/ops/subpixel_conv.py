@@ -74,10 +74,12 @@ def _coarse_kernel(w: jnp.ndarray, f: int) -> jnp.ndarray:
     """w: (k, k, C, N) -> W2: (kc, kc, C*f*f, N*f*f)."""
     k, _, c, n = w.shape
     dy, ok, kc = _repack_indices(k, f)
-    dyj = jnp.asarray(dy)
+    # numpy index arrays + jnp operand: works identically whether w is a
+    # tracer (train) or a closed-over numpy constant (jitted eval)
+    w = jnp.asarray(w)
     okj = jnp.asarray(ok, w.dtype)
     # W2[qy, qx, c, ry, rx, n, py, px] = w[dy(qy,ry,py), dx(qx,rx,px), c, n] * valid
-    wg = w[dyj[:, None, :, None, :, None], dyj[None, :, None, :, None, :]]
+    wg = w[dy[:, None, :, None, :, None], dy[None, :, None, :, None, :]]
     # shape: (kcy, kcx, ry, rx, py, px, C, N)
     mask = okj[:, None, :, None, :, None] * okj[None, :, None, :, None, :]
     wg = wg * mask[..., None, None]
