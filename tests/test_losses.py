@@ -144,3 +144,55 @@ class TestRegistry:
         config.MODEL.G_LOSS.CRITERIONS = {"ContentVGG": {"kind": "content_vgg"}}
         with pytest.raises(FileNotFoundError, match="convert_vgg19"):
             losses.build_criterions(config)
+
+
+class TestVGGConverter:
+    def test_convert_and_load_roundtrip(self, tmp_path, rng):
+        """Fabricated torch-format VGG19 state dict -> npz -> flax apply."""
+        import sys
+        import torch
+
+        sys.path.insert(0, "tools")
+        from convert_vgg19 import convert
+
+        from srgan_st_tpu.models.vgg import VGG19Features, load_vgg19_npz
+
+        # minimal state dict covering features.0 .. features.17 conv layers
+        conv_channels = [(3, 64), (64, 64), (64, 128), (128, 128),
+                         (128, 256), (256, 256), (256, 256), (256, 256)]
+        indices = [0, 2, 5, 7, 10, 12, 14, 16]
+        state = {}
+        for idx, (cin, cout) in zip(indices, conv_channels):
+            state[f"features.{idx}.weight"] = torch.from_numpy(
+                rng.random((cout, cin, 3, 3), dtype=np.float32) - 0.5
+            )
+            state[f"features.{idx}.bias"] = torch.from_numpy(
+                rng.random((cout,), dtype=np.float32)
+            )
+        state["classifier.0.weight"] = torch.zeros(10, 10)  # must be ignored
+        pth = str(tmp_path / "vgg.pth")
+        torch.save(state, pth)
+        npz = str(tmp_path / "vgg.npz")
+        convert(pth, npz)
+
+        taps = ("features.17",)
+        variables = load_vgg19_npz(npz, taps)
+        model = VGG19Features(taps=taps)
+        x = jnp.asarray(rng.random((1, 48, 48, 3), dtype=np.float32))
+        feats = model.apply(variables, x)
+        assert feats["features.17"].shape == (1, 12, 12, 256)
+
+        # golden: torch conv stack up to relu3_4
+        import torch.nn.functional as TF
+
+        t = torch.from_numpy(np.asarray(x).transpose(0, 3, 1, 2))
+        for i, idx in enumerate(indices):
+            t = TF.conv2d(t, state[f"features.{idx}.weight"],
+                          state[f"features.{idx}.bias"], padding=1)
+            t = TF.relu(t)
+            if idx in (2, 7):  # pools after features.3 / features.8
+                t = TF.max_pool2d(t, 2)
+        np.testing.assert_allclose(
+            np.asarray(feats["features.17"]).transpose(0, 3, 1, 2),
+            t.numpy(), rtol=1e-2, atol=10,  # values ~1e6 after 8 raw convs
+        )
