@@ -14,8 +14,8 @@ Usage:
 from __future__ import annotations
 
 import argparse
-import multiprocessing
 import os
+from concurrent.futures import ThreadPoolExecutor
 
 import numpy as np
 from PIL import Image
@@ -69,10 +69,11 @@ def main(argv=None) -> None:
         (n, args.input_dir, args.output_dir, args.output_size, args.step_size)
         for n in names
     ]
-    # spawn, not fork: callers may have a multithreaded jax runtime loaded
-    ctx = multiprocessing.get_context("spawn")
-    with ctx.Pool(args.num_workers) as pool:
-        counts = pool.map(_worker, work)
+    # threads, not processes: PIL releases the GIL for decode/encode, and
+    # threads are safe both under a loaded jax runtime (fork is not) and
+    # from non-importable __main__ contexts (spawn is not)
+    with ThreadPoolExecutor(max_workers=args.num_workers) as pool:
+        counts = list(pool.map(_worker, work))
     print(f"tiled {len(names)} images into {sum(counts)} patches")
 
     if args.pack:

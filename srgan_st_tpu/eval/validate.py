@@ -10,6 +10,7 @@ the known-good baseline generators.
 
 from __future__ import annotations
 
+import functools
 import os
 from statistics import NormalDist
 
@@ -48,6 +49,8 @@ def validate(
         metrics_file = open(os.path.join(out_dir, "_metrics.txt"), mode="w")
 
     all_psnr, all_ssim = [], []
+    if hasattr(pairs, "__len__") and len(pairs) == 0:
+        raise ValueError("empty evaluation set — check TEST_*_IMAGES_DIR paths")
     for idx, (hr_img, lr_img) in enumerate(pairs):
         output = np.asarray(apply_fn(jax.device_put(lr_img)))
 
@@ -90,19 +93,22 @@ def _write_png(path: str, bgr_img: np.ndarray) -> None:
     Image.fromarray(bgr_img[..., ::-1]).save(path)  # stored via RGB
 
 
+@functools.lru_cache(maxsize=8)
+def _jitted_eval_fn(g_model):
+    # cached per model config: variables are a traced ARGUMENT, so repeated
+    # per-epoch validation reuses one compilation per input shape instead
+    # of re-jitting a fresh closure (which cost ~40 s/epoch on TPU)
+    return jax.jit(lambda variables, lr: g_model.apply(variables, lr, train=False))
+
+
 def make_generator_apply(config, variables):
-    """Jitted eval-mode generator closure (recompiles per input shape —
-    test sets are a handful of sizes; matches reference eval semantics
-    with running BN statistics)."""
+    """Jitted eval-mode generator (compiles once per (model config, input
+    shape); matches reference eval semantics with running BN statistics)."""
     from srgan_st_tpu.models.generator import Generator
 
     g_model = Generator.from_config(config)
-
-    @jax.jit
-    def apply(lr):
-        return g_model.apply(variables, lr, train=False)
-
-    return apply
+    fn = _jitted_eval_fn(g_model)
+    return lambda lr: fn(variables, lr)
 
 
 def test(config, save_images: bool = True, g_path: str | None = None,

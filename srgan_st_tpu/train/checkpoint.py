@@ -43,6 +43,35 @@ def _flatten(tree: Any, prefix: str = "") -> dict[str, np.ndarray]:
     return out
 
 
+def save_pytree_npz(path: str, tree: Any) -> None:
+    """Save ANY pytree (train states included) to npz, keyed by tree path.
+
+    ~0.02 s for the full generator state vs ~1-150 s for an orbax
+    StandardCheckpointer save of the same tree on this host — npz is the
+    default train-state format; orbax remains available for sharded
+    multi-host state (CheckpointPolicy(use_orbax=True))."""
+    leaves_with_paths = jax.tree_util.tree_flatten_with_path(jax.device_get(tree))[0]
+    flat = {jax.tree_util.keystr(p): np.asarray(v) for p, v in leaves_with_paths}
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    np.savez(path, **flat)
+
+
+def load_pytree_npz(path: str, target: Any) -> Any:
+    """Restore a pytree saved by save_pytree_npz into `target`'s structure."""
+    with np.load(path) as data:
+        flat = {k: data[k] for k in data.files}
+    paths_and_leaves, treedef = jax.tree_util.tree_flatten_with_path(
+        jax.device_get(target)
+    )
+    leaves = []
+    for p, old in paths_and_leaves:
+        key = jax.tree_util.keystr(p)
+        if key not in flat:
+            raise KeyError(f"checkpoint {path} missing leaf {key}")
+        leaves.append(flat[key].astype(np.asarray(old).dtype))
+    return jax.tree_util.tree_unflatten(treedef, leaves)
+
+
 def _unflatten(flat: dict[str, np.ndarray]) -> dict:
     tree: dict = {}
     for key, value in flat.items():
@@ -96,21 +125,25 @@ class CheckpointPolicy:
     improve; `epoch{N}` every CHECKPOINT_INTERVAL epochs (and only for
     epoch > 0, matching the reference's `0 < epoch` guard)."""
 
-    def __init__(self, results_dir: str, interval: int = 100):
+    def __init__(self, results_dir: str, interval: int = 100,
+                 use_orbax: bool = False):
         self.results_dir = os.path.abspath(results_dir)
         self.interval = interval
         self.best_psnr = 0.0
         self.best_ssim = 0.0
         os.makedirs(self.results_dir, exist_ok=True)
-        self._ckpt = ocp.StandardCheckpointer() if _HAS_ORBAX else None
+        # npz pytree saves by default: ~0.02 s vs orbax's ~1 s/epoch (and a
+        # ~2.5 min first save) for single-host state; orbax opt-in for
+        # sharded multi-host checkpoints
+        self._ckpt = ocp.StandardCheckpointer() if (use_orbax and _HAS_ORBAX) else None
 
     def _save(self, name: str, state: Any) -> None:
         path = os.path.join(self.results_dir, name)
         if self._ckpt is not None:
             self._ckpt.save(path, jax.device_get(state), force=True)
             self._ckpt.wait_until_finished()
-        else:  # pragma: no cover
-            save_variables_npz(path + ".npz", state)
+        else:
+            save_pytree_npz(path + ".state.npz", state)
 
     def save_epoch(self, state: Any, epoch: int, psnr: float, ssim: float) -> bool:
         """Apply the triple policy for a finished epoch; returns is_best."""
@@ -128,12 +161,12 @@ class CheckpointPolicy:
         path = os.path.join(self.results_dir, name)
         if self._ckpt is not None:
             return self._ckpt.restore(path, target=jax.device_get(target))
-        return load_params_npz(path + ".npz", target)  # pragma: no cover
+        return load_pytree_npz(path + ".state.npz", target)
 
     def restore_latest(self, target: Any) -> Any | None:
         """Auto-restore `last` if present (elastic-recovery improvement over
         the reference, which never auto-loads *_last; SURVEY.md §5)."""
         path = os.path.join(self.results_dir, "last")
-        if os.path.exists(path):
+        if os.path.exists(path) or os.path.exists(path + ".state.npz"):
             return self.restore("last", target)
         return None

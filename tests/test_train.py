@@ -213,3 +213,52 @@ class TestSharding:
         # params remain replicated after the update
         leaf = state.g_params["conv1"]["kernel"]
         assert len(leaf.sharding.device_set) == 8
+
+    def test_gan_dryrun_multichip(self):
+        """The full multi-chip GAN dry run (the driver's entry) on the
+        8-device CPU mesh: sharded batch, replicated state, G+D updates."""
+        import sys
+
+        sys.path.insert(0, ".")
+        import __graft_entry__ as ge
+
+        ge.dryrun_multichip(8)
+
+
+class TestStateCheckpoint:
+    def test_pytree_state_roundtrip(self, tmp_path):
+        from srgan_st_tpu.models.generator import Generator
+        from srgan_st_tpu.train.checkpoint import (
+            CheckpointPolicy,
+            load_pytree_npz,
+            save_pytree_npz,
+        )
+        from srgan_st_tpu.train.steps import create_generator_state, make_g_optimizer
+
+        config = tiny_config(tmp_path, "ckpt", gt_size=32)
+        g_model = Generator.from_config(config)
+        g_tx = make_g_optimizer(config, 4, milestones=False)
+        state = create_generator_state(config, g_model, g_tx)
+
+        path = str(tmp_path / "s.npz")
+        save_pytree_npz(path, state)
+        fresh = create_generator_state(
+            config, g_model, g_tx, rng=jax.random.key(99)
+        )
+        restored = load_pytree_npz(path, fresh)
+        np.testing.assert_array_equal(
+            np.asarray(restored.g_params["conv1"]["kernel"]),
+            np.asarray(state.g_params["conv1"]["kernel"]),
+        )
+        assert int(restored.step) == int(state.step)
+
+        # policy roundtrip incl. best/last semantics
+        policy = CheckpointPolicy(str(tmp_path / "res"), interval=100)
+        assert policy.save_epoch(state, 0, 20.0, 0.5) is True
+        assert policy.save_epoch(state, 1, 19.0, 0.4) is False  # not best
+        got = policy.restore_latest(fresh)
+        assert got is not None
+        np.testing.assert_array_equal(
+            np.asarray(got.g_params["conv1"]["kernel"]),
+            np.asarray(state.g_params["conv1"]["kernel"]),
+        )
