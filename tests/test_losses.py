@@ -9,7 +9,9 @@ import jax.numpy as jnp
 
 from srgan_st_tpu.core.config import Config
 from srgan_st_tpu import losses
-from tests import reference_impls as ref
+
+# Stored golden loss values (see tests/goldens/README.md)
+GOLD = np.load("tests/goldens/reference_goldens.npz")
 
 
 def _pair(rng, size=24):
@@ -44,13 +46,11 @@ class TestPixelAdversarial:
 
 
 class TestBuddyLosses:
-    @pytest.mark.parametrize("dist_norm,criterion", [("l2", "l1"), ("l1", "mse")])
-    def test_best_buddy(self, rng, dist_norm, criterion):
-        sr, gt = _pair(rng, size=24)
-        golden = ref.torch_best_buddy_loss(
-            torch.from_numpy(sr), torch.from_numpy(gt),
-            dist_norm=dist_norm, criterion=criterion,
-        ).item()
+    @pytest.mark.parametrize("dist_norm,criterion,gold_key",
+                             [("l2", "l1", "bb_l2_l1"), ("l1", "mse", "bb_l1_mse")])
+    def test_best_buddy(self, dist_norm, criterion, gold_key):
+        sr, gt = GOLD["loss_sr24"], GOLD["loss_gt24"]
+        golden = float(GOLD[gold_key])
         got = float(
             losses.best_buddy_loss(
                 _nhwc(sr), _nhwc(gt), dist_norm=dist_norm, criterion=criterion
@@ -58,25 +58,23 @@ class TestBuddyLosses:
         )
         assert abs(got - golden) < 1e-5, (got, golden)
 
-    def test_gram(self, rng):
-        sr, gt = _pair(rng, size=24)
-        golden = ref.torch_gram_loss(torch.from_numpy(sr), torch.from_numpy(gt)).item()
+    def test_gram(self):
+        sr, gt = GOLD["loss_sr24"], GOLD["loss_gt24"]
+        golden = float(GOLD["gram"])
         got = float(losses.gram_loss(_nhwc(sr), _nhwc(gt)))
         assert abs(got - golden) < 1e-5, (got, golden)
 
-    def test_patchwise_st(self, rng):
-        sr, gt = _pair(rng, size=24)
-        golden = ref.torch_patchwise_st_loss(
-            torch.from_numpy(sr), torch.from_numpy(gt)
-        ).item()
+    def test_patchwise_st(self):
+        sr, gt = GOLD["loss_sr24"], GOLD["loss_gt24"]
+        golden = float(GOLD["pst"])
         got = float(losses.patchwise_st_loss(_nhwc(sr), _nhwc(gt)))
         assert abs(got - golden) < 2e-4 * max(abs(golden), 1.0), (got, golden)
 
 
 class TestSTLoss:
-    def test_whole_image(self, rng):
-        sr, gt = _pair(rng, size=32)
-        golden = ref.torch_st_loss(torch.from_numpy(sr), torch.from_numpy(gt)).item()
+    def test_whole_image(self):
+        sr, gt = GOLD["loss_sr32"], GOLD["loss_gt32"]
+        golden = float(GOLD["st_loss"])
         got = float(losses.st_loss(_nhwc(sr), _nhwc(gt)))
         assert abs(got - golden) < 1e-4, (got, golden)
 

@@ -8,16 +8,20 @@ import torch.nn.functional as F
 import jax.numpy as jnp
 
 from srgan_st_tpu import ops
-from tests import reference_impls as ref
+
+# Stored golden fixtures: values computed once with torch-CPU
+# implementations of the documented reference formulas (MATLAB-imresize
+# bicubic weights, the six-conv2d structure-tensor pipeline, the reference
+# pairwise distances) and cross-checked at generation time; see
+# tests/goldens/README.md.
+GOLD = np.load("tests/goldens/reference_goldens.npz")
 
 
 class TestBicubic:
     @pytest.mark.parametrize("scale", [0.25, 0.5, 2.0, 4.0])
-    def test_matlab_matches_reference(self, rng, scale):
-        x = rng.random((2, 3, 24, 36), dtype=np.float32) if scale >= 1 else rng.random(
-            (2, 3, 96, 72), dtype=np.float32
-        )
-        golden = ref.torch_matlab_bicubic(torch.from_numpy(x), scale).numpy()
+    def test_matlab_matches_reference(self, scale):
+        x = GOLD[f"bicubic_in_{scale}"]
+        golden = GOLD[f"bicubic_out_{scale}"]
         # ours is NHWC
         got = ops.resize_bicubic(jnp.asarray(x.transpose(0, 2, 3, 1)), scale, method="matlab")
         got = np.asarray(got).transpose(0, 3, 1, 2)
@@ -55,68 +59,52 @@ class TestBicubic:
 
 class TestStructureTensor:
     @pytest.mark.parametrize("sigma,rho", [(0.5, 2.0), (1.0, 10.0)])
-    def test_whole_image(self, rng, sigma, rho):
-        im = rng.random((1, 24, 24), dtype=np.float32)
-        golden = ref.torch_structure_tensor(torch.from_numpy(im), sigma, rho).numpy()
+    def test_whole_image(self, sigma, rho):
+        im = GOLD[f"st_in_{sigma}_{rho}"]
+        golden = GOLD[f"st_out_{sigma}_{rho}"]
         got = np.asarray(ops.structure_tensor(jnp.asarray(im[None]), sigma, rho))[0]
         np.testing.assert_allclose(got, golden, atol=1e-5)
 
-    def test_patches_match_whole_image(self, rng):
+    def test_patches_match_whole_image(self):
         # banded-matrix patch path == conv path on a 3x3 "image"
-        p = rng.random((7, 5, 3, 3), dtype=np.float32)
+        p = GOLD["st_patches_in"]
         got = np.asarray(ops.structure_tensor_patches(jnp.asarray(p), sigma=0.5, rho=2.0))
-        flat = p.reshape(-1, 1, 3, 3)
-        golden = np.stack(
-            [ref.torch_structure_tensor(torch.from_numpy(q), 0.5, 2.0).numpy() for q in flat]
-        ).reshape(7, 5, 3, 3, 3)
-        np.testing.assert_allclose(got, golden, atol=1e-5)
+        np.testing.assert_allclose(got, GOLD["st_patches_out"], atol=1e-5)
 
-    def test_normalize_inv_eig_distance(self, rng):
-        s1 = ref.torch_structure_tensor(
-            torch.from_numpy(rng.random((1, 16, 16), dtype=np.float32)), 0.5, 2.0
-        )
-        s2 = ref.torch_structure_tensor(
-            torch.from_numpy(rng.random((1, 16, 16), dtype=np.float32)), 0.5, 2.0
-        )
-        m_g = ref.torch_inv_s1_x_s2(s1, s2, True)
-        lam_g = ref.torch_eigenvalues(m_g)
-        d_g = ref.torch_distance(lam_g).numpy()
-
-        s1j, s2j = jnp.asarray(s1.numpy()), jnp.asarray(s2.numpy())
+    def test_normalize_inv_eig_distance(self):
+        s1j = jnp.asarray(GOLD["stpipe_s1"])
+        s2j = jnp.asarray(GOLD["stpipe_s2"])
         m = ops.inv_s1_x_s2(s1j, s2j, True)
         # torch stacking gives (4, H, W) with our same component order
-        np.testing.assert_allclose(np.asarray(m), m_g.numpy(), rtol=2e-5, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(m), GOLD["stpipe_m"], rtol=2e-5, atol=1e-6)
         lam = ops.eigenvalues_2x2(m)
         # torch stacks (l1, l2) along dim1 -> (H, 2, W); ours is (2, H, W)
         np.testing.assert_allclose(
-            np.asarray(lam), lam_g.numpy().transpose(1, 0, 2), rtol=2e-5, atol=1e-6
+            np.asarray(lam), GOLD["stpipe_lam"].transpose(1, 0, 2), rtol=2e-5, atol=1e-6
         )
         d = ops.riemannian_distance(lam)
-        np.testing.assert_allclose(np.asarray(d), d_g, rtol=2e-5, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(d), GOLD["stpipe_d"], rtol=2e-5, atol=1e-6)
 
     def test_gaussian_kernel_values(self):
         g, dg = ops.gaussian_kernel(0.5, also_dg=True)
-        g_t, dg_t = ref.torch_gaussian_kernel(0.5, also_dg=True)
-        np.testing.assert_allclose(g, g_t.numpy(), atol=1e-7)
-        np.testing.assert_allclose(dg, dg_t.numpy(), atol=1e-6)
+        np.testing.assert_allclose(g, GOLD["gauss_05"], atol=1e-7)
+        np.testing.assert_allclose(dg, GOLD["gauss_05_dg"], atol=1e-6)
         assert len(ops.gaussian_kernel(2.0)) == 17  # radius 8
 
 
 class TestPairwise:
     @pytest.mark.parametrize("norm", ["l1", "l2"])
     @pytest.mark.parametrize("with_y", [True, False])
-    def test_parity(self, rng, norm, with_y):
-        x = rng.random((2, 12, 9), dtype=np.float32)
-        y = rng.random((2, 20, 9), dtype=np.float32) if with_y else None
-        golden = ref.torch_pairwise_distance(
-            torch.from_numpy(x), torch.from_numpy(y) if with_y else None, norm
-        ).numpy()
+    def test_parity(self, norm, with_y):
+        key = f"pairwise_{norm}_{'y' if with_y else 'noy'}"
+        x = GOLD[key + "_x"]
+        y = GOLD[key + "_y"] if with_y else None
         got = np.asarray(
             ops.batch_pairwise_distance(
                 jnp.asarray(x), jnp.asarray(y) if with_y else None, norm
             )
         )
-        np.testing.assert_allclose(got, golden, rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(got, GOLD[key + "_out"], rtol=1e-5, atol=1e-5)
 
 
 class TestPatches:
