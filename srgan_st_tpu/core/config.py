@@ -173,6 +173,10 @@ class Config:
         # 1 -> per-batch stepping. Host dispatch of the ~700-leaf train state
         # costs ~ms, so chunking matters at SR step sizes.
         self.TPU.CHUNK_STEPS = None
+        # Halo-tiled eval inference: one compiled shape for any image size
+        # (fixes per-shape recompiles on heterogeneous test sets like
+        # Urban100) and mesh-shardable tiles. Exact vs whole-image.
+        self.TPU.TILED_EVAL = False
 
     # ----------------------------------------------------------------------
     # Criterion registry mutators (reference config.py:122-131)

@@ -114,7 +114,9 @@ def make_generator_apply(config, variables):
 def test(config, save_images: bool = True, g_path: str | None = None,
          concat_w_gt: bool = False) -> tuple[float, float]:
     """Test a generator; EXP.NAME 'bicubic'/'nearest' selects the baseline
-    upscalers instead (reference validate.py:28-58)."""
+    upscalers instead (reference validate.py:28-58). With
+    config.TPU.TILED_EVAL, large images run through the halo-tiled applier
+    (one compiled shape, optionally sharded over the mesh)."""
     pairs = TestPairSource(config.DATA.TEST_GT_IMAGES_DIR, config.DATA.TEST_LR_IMAGES_DIR)
 
     if config.EXP.NAME == "bicubic":
@@ -132,8 +134,56 @@ def test(config, save_images: bool = True, g_path: str | None = None,
             g_path = f"results/{config.EXP.NAME}/g_best.npz"
         variables = load_params_npz(g_path)
         apply_fn = make_generator_apply(config, variables)
+        if config.TPU.get("TILED_EVAL"):
+            from srgan_st_tpu.eval.tiled import TiledApplier, generator_halo
+
+            apply_fn = TiledApplier(
+                apply_fn, upscale=config.DATA.UPSCALE_FACTOR,
+                halo=generator_halo(config.MODEL.G_N_RCB, config.DATA.UPSCALE_FACTOR),
+            )
 
     return validate(
         apply_fn, pairs, config,
         save_images=save_images, concat_with_gt=concat_w_gt, save_metrics=True,
     )
+
+
+def main(argv=None) -> None:
+    """CLI mirror of the reference's validate.py __main__ (validate.py:116-138).
+
+    Usage:
+        python -m srgan_st_tpu.eval.validate --exp_name patchwise-st \\
+            --test_set Urban100 --data_root data [--gpath w.npz] [--tiled]
+    """
+    import argparse
+
+    from srgan_st_tpu.core.config import Config
+
+    parser = argparse.ArgumentParser(
+        description="Run evaluation on a model. If --exp_name is 'bicubic' "
+        "or 'nearest' the corresponding baseline upscaler is evaluated "
+        "instead of a trained generator."
+    )
+    parser.add_argument("--exp_name", type=str, required=True)
+    parser.add_argument("--test_set", type=str, default="Set5")
+    parser.add_argument("--data_root", type=str, default="data")
+    parser.add_argument("--save_images", action="store_true")
+    parser.add_argument("--concat_w_gt", action="store_true")
+    parser.add_argument("--gpath", type=str, default=None,
+                        help="explicit generator weights (.npz) path")
+    parser.add_argument("--tiled", action="store_true",
+                        help="halo-tiled inference for large images")
+    args = parser.parse_args(argv)
+
+    config = Config()
+    config.EXP.NAME = args.exp_name
+    config.DATA.TEST_SET = args.test_set
+    config.DATA.TEST_GT_IMAGES_DIR = f"{args.data_root}/{args.test_set}/GTmod12"
+    config.DATA.TEST_LR_IMAGES_DIR = f"{args.data_root}/{args.test_set}/LRbicx4"
+    config.TPU.TILED_EVAL = args.tiled
+    test(config, save_images=args.save_images, concat_w_gt=args.concat_w_gt,
+         g_path=args.gpath)
+
+
+if __name__ == "__main__":
+    main()

@@ -57,7 +57,15 @@ def warmup(config):
     policy = CheckpointPolicy(results_dir, config.G_CHECKPOINT_INTERVAL)
     test_pairs = make_test_pairs(config)
 
-    batches_done = 0
+    # Auto-resume from the last full state when restarting mid-run
+    # (improvement over the reference, which restarts the epoch counter but
+    # never reloads *_last; SURVEY.md §5).
+    if config.EXP.START_EPOCH > 0:
+        restored = policy.restore_latest(state)
+        if restored is not None:
+            state = jax.device_put(restored, replicated(mesh))
+
+    batches_done = config.EXP.START_EPOCH * steps_per_epoch
     for epoch in range(config.EXP.START_EPOCH, config.EXP.N_EPOCHS):
         print(f"Beginning train epoch: {epoch+1}")
 
