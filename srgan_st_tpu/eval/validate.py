@@ -103,12 +103,23 @@ def _jitted_eval_fn(g_model):
 
 def make_generator_apply(config, variables):
     """Jitted eval-mode generator (compiles once per (model config, input
-    shape); matches reference eval semantics with running BN statistics)."""
+    shape); matches reference eval semantics with running BN statistics).
+    With config.TPU.TILED_EVAL, wraps the halo-tiled applier so every
+    caller (test() and the drivers' per-epoch validation alike) gets one
+    compiled shape for any image size."""
     from srgan_st_tpu.models.generator import Generator
 
     g_model = Generator.from_config(config)
     fn = _jitted_eval_fn(g_model)
-    return lambda lr: fn(variables, lr)
+    apply_fn = lambda lr: fn(variables, lr)  # noqa: E731
+    if config.TPU.get("TILED_EVAL"):
+        from srgan_st_tpu.eval.tiled import TiledApplier, generator_halo
+
+        apply_fn = TiledApplier(
+            apply_fn, upscale=config.DATA.UPSCALE_FACTOR,
+            halo=generator_halo(config.MODEL.G_N_RCB, config.DATA.UPSCALE_FACTOR),
+        )
+    return apply_fn
 
 
 def test(config, save_images: bool = True, g_path: str | None = None,
@@ -134,13 +145,6 @@ def test(config, save_images: bool = True, g_path: str | None = None,
             g_path = f"results/{config.EXP.NAME}/g_best.npz"
         variables = load_params_npz(g_path)
         apply_fn = make_generator_apply(config, variables)
-        if config.TPU.get("TILED_EVAL"):
-            from srgan_st_tpu.eval.tiled import TiledApplier, generator_halo
-
-            apply_fn = TiledApplier(
-                apply_fn, upscale=config.DATA.UPSCALE_FACTOR,
-                halo=generator_halo(config.MODEL.G_N_RCB, config.DATA.UPSCALE_FACTOR),
-            )
 
     return validate(
         apply_fn, pairs, config,
@@ -180,6 +184,8 @@ def main(argv=None) -> None:
     config.DATA.TEST_SET = args.test_set
     config.DATA.TEST_GT_IMAGES_DIR = f"{args.data_root}/{args.test_set}/GTmod12"
     config.DATA.TEST_LR_IMAGES_DIR = f"{args.data_root}/{args.test_set}/LRbicx4"
+    # per-test-set output dir so multi-set sweeps don't overwrite each other
+    config.DATA.TEST_SR_IMAGES_DIR = f"results/_test/{args.test_set}"
     config.TPU.TILED_EVAL = args.tiled
     test(config, save_images=args.save_images, concat_w_gt=args.concat_w_gt,
          g_path=args.gpath)

@@ -132,6 +132,17 @@ class CheckpointPolicy:
         self.best_psnr = 0.0
         self.best_ssim = 0.0
         os.makedirs(self.results_dir, exist_ok=True)
+        # persist best-metric tracking so a resumed run can't overwrite
+        # `best` with a worse model (the train state itself carries no
+        # best-metric fields)
+        self._meta_path = os.path.join(self.results_dir, "_policy.json")
+        if os.path.exists(self._meta_path):
+            import json
+
+            with open(self._meta_path) as f:
+                meta = json.load(f)
+            self.best_psnr = float(meta.get("best_psnr", 0.0))
+            self.best_ssim = float(meta.get("best_ssim", 0.0))
         # npz pytree saves by default: ~0.02 s vs orbax's ~1 s/epoch (and a
         # ~2.5 min first save) for single-host state; orbax opt-in for
         # sharded multi-host checkpoints
@@ -153,6 +164,10 @@ class CheckpointPolicy:
             self._save("best", state)
             self.best_psnr = psnr
             self.best_ssim = ssim
+            import json
+
+            with open(self._meta_path, "w") as f:
+                json.dump({"best_psnr": psnr, "best_ssim": ssim, "epoch": epoch}, f)
         if 0 < epoch and epoch % self.interval == 0:
             self._save(f"epoch{epoch}", state)
         return is_best

@@ -88,13 +88,21 @@ def train(config):
     test_pairs = make_test_pairs(config)
 
     # Optional auto-resume (improvement over the reference, which restarts
-    # the epoch counter but never reloads *_last; SURVEY.md §5).
-    if config.EXP.START_EPOCH > 0:
+    # the epoch counter but never reloads *_last; SURVEY.md §5). The true
+    # epoch comes from the checkpoint's step counter, not START_EPOCH.
+    start_epoch = config.EXP.START_EPOCH
+    if start_epoch > 0:
         restored = policy.restore_latest(state)
         if restored is not None:
             state = jax.device_put(restored, replicated(mesh))
+            start_epoch = int(jax.device_get(state.step)) // steps_per_epoch
+            if start_epoch != config.EXP.START_EPOCH:
+                print(
+                    f"resuming at epoch {start_epoch} (from checkpoint step), "
+                    f"not START_EPOCH={config.EXP.START_EPOCH}"
+                )
 
-    for epoch in range(config.EXP.START_EPOCH, config.EXP.N_EPOCHS):
+    for epoch in range(start_epoch, config.EXP.N_EPOCHS):
         print(f"Beginning train epoch: {epoch+1}")
 
         batch_num = 0

@@ -59,14 +59,22 @@ def warmup(config):
 
     # Auto-resume from the last full state when restarting mid-run
     # (improvement over the reference, which restarts the epoch counter but
-    # never reloads *_last; SURVEY.md §5).
-    if config.EXP.START_EPOCH > 0:
+    # never reloads *_last; SURVEY.md §5). The true epoch comes from the
+    # checkpoint's own step counter, not the user-supplied START_EPOCH.
+    start_epoch = config.EXP.START_EPOCH
+    if start_epoch > 0:
         restored = policy.restore_latest(state)
         if restored is not None:
             state = jax.device_put(restored, replicated(mesh))
+            start_epoch = int(jax.device_get(state.step)) // steps_per_epoch
+            if start_epoch != config.EXP.START_EPOCH:
+                print(
+                    f"resuming at epoch {start_epoch} (from checkpoint step), "
+                    f"not START_EPOCH={config.EXP.START_EPOCH}"
+                )
 
-    batches_done = config.EXP.START_EPOCH * steps_per_epoch
-    for epoch in range(config.EXP.START_EPOCH, config.EXP.N_EPOCHS):
+    batches_done = start_epoch * steps_per_epoch
+    for epoch in range(start_epoch, config.EXP.N_EPOCHS):
         print(f"Beginning train epoch: {epoch+1}")
 
         for chunk in chunked_batches(source.epoch(epoch), chunk_size):

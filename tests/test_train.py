@@ -262,3 +262,21 @@ class TestStateCheckpoint:
             np.asarray(got.g_params["conv1"]["kernel"]),
             np.asarray(state.g_params["conv1"]["kernel"]),
         )
+
+    def test_best_metrics_persist_across_policy_instances(self, tmp_path):
+        from srgan_st_tpu.models.generator import Generator
+        from srgan_st_tpu.train.checkpoint import CheckpointPolicy
+        from srgan_st_tpu.train.steps import create_generator_state, make_g_optimizer
+
+        config = tiny_config(tmp_path, "bestmeta", gt_size=32)
+        g_model = Generator.from_config(config)
+        g_tx = make_g_optimizer(config, 4, milestones=False)
+        state = create_generator_state(config, g_model, g_tx)
+
+        p1 = CheckpointPolicy(str(tmp_path / "r"), interval=100)
+        assert p1.save_epoch(state, 0, 28.1, 0.82) is True
+        # a fresh policy (resumed process) must not treat a WORSE model as best
+        p2 = CheckpointPolicy(str(tmp_path / "r"), interval=100)
+        assert p2.best_psnr == 28.1
+        assert p2.save_epoch(state, 1, 27.3, 0.80) is False
+        assert p2.save_epoch(state, 2, 28.5, 0.85) is True
