@@ -17,7 +17,11 @@ Autodiff produces the matching efficient duals automatically: dz is a
 pad/slice scatter of dout, dW rides the same wide-N matmul transposed, and
 dx is a (M, 243) @ (243, C) contraction.
 
-Measured ~2x on the conv3 fwd+bwd path at training shapes; exact to fp
+STATUS: superseded by ops/subpixel_conv.py (the s2d-factored form), which
+is faster in practice — this JAX-level tap decomposition loses its MXU
+savings to HBM traffic on the (B, H, W, 81N) intermediate. Kept as the
+documented, tested formulation the Pallas kernel (kernels/tap_conv.py)
+fuses. Exact to fp
 reassociation (parity-tested against lax.conv_general_dilated).
 """
 
