@@ -21,7 +21,7 @@ STATUS: superseded by ops/subpixel_conv.py (the s2d-factored form), which
 is faster in practice — this JAX-level tap decomposition loses its MXU
 savings to HBM traffic on the (B, H, W, 81N) intermediate. Kept as the
 documented, tested formulation the Pallas kernel (kernels/tap_conv.py)
-fuses. Exact to fp
+fuses. Exact to fp-
 reassociation (parity-tested against lax.conv_general_dilated).
 """
 
