@@ -180,8 +180,17 @@ class CheckpointPolicy:
 
     def restore_latest(self, target: Any) -> Any | None:
         """Auto-restore `last` if present (elastic-recovery improvement over
-        the reference, which never auto-loads *_last; SURVEY.md §5)."""
+        the reference, which never auto-loads *_last; SURVEY.md §5).
+        Incompatible checkpoints (e.g. a warmup-phase state found by a GAN
+        run sharing the results dir) are skipped with a warning instead of
+        aborting the run."""
         path = os.path.join(self.results_dir, "last")
         if os.path.exists(path) or os.path.exists(path + ".state.npz"):
-            return self.restore("last", target)
+            try:
+                return self.restore("last", target)
+            except (KeyError, ValueError) as e:
+                print(
+                    f"skipping incompatible 'last' checkpoint in "
+                    f"{self.results_dir}: {e}"
+                )
         return None

@@ -102,12 +102,20 @@ def _prepare_batch(gt, config, aug_key=None):
     return gt, lr
 
 
+def _aug_key(config, step):
+    """Per-step augmentation key derived from (DATA.SEED, state.step) —
+    deterministic across resumes, no key-threading through the drivers."""
+    return jax.random.fold_in(jax.random.key(config.DATA.SEED + 7), step)
+
+
 def make_warmup_step(config, g_model, criterions, g_tx):
     """Generator-only pretraining step (reference warmup.py:74-96)."""
     augment = bool(config.DATA.AUGMENT)
 
-    def warmup_step(state: GANTrainState, gt_u8, aug_key=None):
-        gt, lr = _prepare_batch(gt_u8, config, aug_key if augment else None)
+    def warmup_step(state: GANTrainState, gt_u8):
+        gt, lr = _prepare_batch(
+            gt_u8, config, _aug_key(config, state.step) if augment else None
+        )
 
         def loss_fn(g_params):
             sr, mut = g_model.apply(
@@ -143,8 +151,14 @@ def make_gan_steps(config, g_model, d_model, criterions, g_tx, d_tx):
     augment = bool(config.DATA.AUGMENT)
     has_adversarial = any(fn is None for fn, _ in criterions.values())
 
-    def g_step(state: GANTrainState, gt_u8, aug_key=None):
-        gt, lr = _prepare_batch(gt_u8, config, aug_key if augment else None)
+    def g_step(state: GANTrainState, gt_u8):
+        # Augmentation keys derive from state.step, so no key threading is
+        # needed. The D step below intentionally sees the UNAUGMENTED gt:
+        # D scores real and fake batches independently (no pairing), and
+        # flips/rot90 don't change the real-image distribution.
+        gt, lr = _prepare_batch(
+            gt_u8, config, _aug_key(config, state.step) if augment else None
+        )
 
         def loss_fn(g_params):
             sr, mut = g_model.apply(

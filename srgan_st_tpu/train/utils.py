@@ -25,9 +25,25 @@ def chunked_batches(epoch_iter, chunk_size: int):
 def resolve_chunk_steps(config, interval: int, steps_per_epoch: int) -> int:
     """Chunk size: TPU.CHUNK_STEPS override, else the natural interval
     (D_UPDATE_INTERVAL for GAN, LOG_TRAIN_PERIOD for warmup), capped to the
-    epoch length."""
+    epoch length. An override is normalized to a divisor of the interval —
+    chunk boundaries are the only points where the D update / log check
+    runs, so a non-divisor would silently skip interval hits (e.g.
+    CHUNK_STEPS=64 with interval 100 lands on a multiple of 100 only every
+    1600 batches)."""
+    import math
+
     chunk = config.TPU.get("CHUNK_STEPS") or interval
-    return max(1, min(chunk, steps_per_epoch))
+    chunk = max(1, min(chunk, steps_per_epoch))
+    # Interval multiples can only fall mid-chunk when the epoch actually
+    # contains one beyond batch 0 (epoch starts are always chunk starts).
+    if steps_per_epoch > interval and (chunk > interval or interval % chunk):
+        normalized = math.gcd(min(chunk, interval), interval)
+        print(
+            f"TPU.CHUNK_STEPS={chunk} does not divide the interval "
+            f"{interval}; using {normalized} to keep the update cadence"
+        )
+        chunk = normalized
+    return chunk
 
 
 def make_test_pairs(config):

@@ -79,6 +79,10 @@ def warmup(config):
 
         for chunk in chunked_batches(source.epoch(epoch), chunk_size):
             batch_num = batches_done % steps_per_epoch
+            # the logged metrics belong to the chunk's FIRST batch; the
+            # reference logs it at batches_done after that batch's
+            # increment (warmup.py:75,105)
+            log_step = batches_done + 1
             batches_done += len(chunk)
             state, metrics = chunk_fn(state, shard_chunk(chunk, mesh))
 
@@ -86,7 +90,7 @@ def warmup(config):
                 continue
             metrics = jax.device_get(metrics)
             for name, val in metrics.items():
-                writer.add_scalar(f"Train/{name}", val, batches_done)
+                writer.add_scalar(f"Train/{name}", val, log_step)
             print(
                 f"[Epoch {epoch+1}/{config.EXP.N_EPOCHS}] "
                 f"[Batch {batch_num}/{steps_per_epoch}] "

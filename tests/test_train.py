@@ -280,3 +280,72 @@ class TestStateCheckpoint:
         assert p2.best_psnr == 28.1
         assert p2.save_epoch(state, 1, 27.3, 0.80) is False
         assert p2.save_epoch(state, 2, 28.5, 0.85) is True
+
+
+class TestChunkCadence:
+    def test_chunk_override_normalized_to_interval_divisor(self, tmp_path):
+        from srgan_st_tpu.train.utils import resolve_chunk_steps
+
+        config = tiny_config(tmp_path, "cadence")
+        config.TPU.CHUNK_STEPS = 64
+        # 64 does not divide 100 and the epoch is long enough to matter
+        assert resolve_chunk_steps(config, 100, 1000) == 4  # gcd(64, 100)
+        # short epochs: any chunk is safe (only batch 0 ever hits the interval)
+        assert resolve_chunk_steps(config, 100, 12) == 12
+        config.TPU.CHUNK_STEPS = None
+        assert resolve_chunk_steps(config, 100, 1000) == 100
+        config.TPU.CHUNK_STEPS = 200
+        assert resolve_chunk_steps(config, 100, 1000) == 100  # clamped
+
+    def test_incompatible_last_checkpoint_skipped(self, tmp_path):
+        from srgan_st_tpu.models.discriminator import Discriminator
+        from srgan_st_tpu.models.generator import Generator
+        from srgan_st_tpu.train.checkpoint import CheckpointPolicy
+        from srgan_st_tpu.train.steps import (
+            create_gan_state,
+            create_generator_state,
+            make_d_optimizer,
+            make_g_optimizer,
+        )
+
+        config = tiny_config(tmp_path, "mixed-dir", gt_size=96)
+        g_model = Generator.from_config(config)
+        d_model = Discriminator.from_config(config)
+        g_tx = make_g_optimizer(config, 4)
+        d_tx = make_d_optimizer(config, 4)
+
+        # warmup-phase state saved as 'last'
+        warm_state = create_generator_state(config, g_model, g_tx)
+        policy = CheckpointPolicy(str(tmp_path / "res"), interval=100)
+        policy.save_epoch(warm_state, 0, 20.0, 0.5)
+
+        # GAN-phase target with D leaves: must skip gracefully, not crash
+        gan_state = create_gan_state(config, g_model, d_model, g_tx, d_tx)
+        assert policy.restore_latest(gan_state) is None
+
+    def test_augment_changes_training_batch(self, tmp_path):
+        import jax.numpy as jnp
+
+        from srgan_st_tpu.losses.registry import build_warmup_criterions
+        from srgan_st_tpu.models.generator import Generator
+        from srgan_st_tpu.train.steps import (
+            create_generator_state,
+            make_g_optimizer,
+            make_warmup_step,
+        )
+
+        config = tiny_config(tmp_path, "aug", gt_size=32)
+        g_model = Generator.from_config(config)
+        g_tx = make_g_optimizer(config, 4, milestones=False)
+        crits = build_warmup_criterions(config)
+        batch = np.random.default_rng(3).integers(0, 256, (8, 32, 32, 3), np.uint8)
+
+        losses = {}
+        for aug in (False, True):
+            config.DATA.AUGMENT = aug
+            state = create_generator_state(config, g_model, g_tx)
+            step = jax.jit(make_warmup_step(config, g_model, crits, g_tx))
+            _, metrics = step(state, jnp.asarray(batch))
+            losses[aug] = float(metrics["G_Loss"])
+        # augmentation flips/rotates some samples -> different loss value
+        assert losses[False] != losses[True]
