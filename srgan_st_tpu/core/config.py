@@ -181,6 +181,9 @@ class Config:
         # (fixes per-shape recompiles on heterogeneous test sets like
         # Urban100) and mesh-shardable tiles. Exact vs whole-image.
         self.TPU.TILED_EVAL = False
+        # Wrap train steps with a TPU-side finite-metrics check (prints a
+        # warning on NaN/Inf without host syncs); for loss bring-up.
+        self.TPU.NAN_GUARD = False
 
     # ----------------------------------------------------------------------
     # Criterion registry mutators (reference config.py:122-131)

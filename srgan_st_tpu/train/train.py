@@ -76,11 +76,12 @@ def train(config):
     chunk_size = resolve_chunk_steps(
         config, config.SOLVER.D_UPDATE_INTERVAL, steps_per_epoch
     )
-    chunk_fn = jax.jit(
-        make_gan_chunk_step(config, g_model, d_model, criterions, g_tx, d_tx),
-        donate_argnums=0,
-        static_argnums=2,
-    )
+    chunk_step = make_gan_chunk_step(config, g_model, d_model, criterions, g_tx, d_tx)
+    if config.TPU.get("NAN_GUARD"):
+        from srgan_st_tpu.utils.debugging import nan_guard
+
+        chunk_step = nan_guard(chunk_step)
+    chunk_fn = jax.jit(chunk_step, donate_argnums=0, static_argnums=2)
 
     writer = ExperimentWriter(config)
     results_dir = f"results/{config.EXP.NAME}"

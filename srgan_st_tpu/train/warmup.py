@@ -48,9 +48,12 @@ def warmup(config):
     # come back for the chunk's first batch — the one the reference logs
     # (warmup.py:101-110).
     chunk_size = resolve_chunk_steps(config, config.LOG_TRAIN_PERIOD, steps_per_epoch)
-    chunk_fn = jax.jit(
-        make_warmup_chunk_step(config, g_model, criterions, g_tx), donate_argnums=0
-    )
+    chunk_step = make_warmup_chunk_step(config, g_model, criterions, g_tx)
+    if config.TPU.get("NAN_GUARD"):
+        from srgan_st_tpu.utils.debugging import nan_guard
+
+        chunk_step = nan_guard(chunk_step)
+    chunk_fn = jax.jit(chunk_step, donate_argnums=0)
 
     writer = ExperimentWriter(config)
     results_dir = f"results/{config.EXP.NAME}"
