@@ -8,16 +8,18 @@ MATLAB-bicubic degradation that replaces the reference's CPU dataloader
 work. Synthetic device-fed batches isolate accelerator throughput; the
 host pipeline only ships uint8 patches.
 
-Baseline: the reference publishes no numbers (BASELINE.md). The A100
-anchor below is an estimate, documented so it can be replaced by a
-measured rerun:
-  * reference input pipeline: ONE DataLoader worker computes the MATLAB
-    bicubic per 96^2 sample in Python/torch-CPU (dataset.py:27-28,
-    train.py:36) at ~3-5 ms/sample -> a ~200-330 patches/s ceiling;
+Baseline: the reference publishes no numbers (BASELINE.md). The anchor
+below is MEASURED by executing the reference's own input pipeline
+(tools/measure_reference_baseline.py):
+  * reference input pipeline: ONE persistent DataLoader worker on ONE
+    reserved CPU core (train.py:36-40, train.sh) runs decode +
+    reference `Bicubic().forward` per 96^2 sample (dataset.py:27-28).
+    Measured on this host, single-thread torch, best of 5 runs
+    (reference-favorable): 3.20 ms/sample -> 312 patches/s ceiling;
   * reference compute: G fwd+bwd + D fwd is ~9 GFLOP/patch; an A100 at
     a generous 25% TF32 utilization gives ~4000 patches/s, so the input
-    pipeline dominates.
-  => estimated reference throughput ~300 patches/s/GPU.
+    pipeline dominates and min(pipeline, compute) = pipeline.
+  => measured reference throughput anchor: 312 patches/s/GPU.
 
 The bench runs in bfloat16 compute (BENCH_DTYPE=float32 for the strict
 fp32 number): a 60-epoch convergence study showed bf16 training matches
@@ -35,7 +37,7 @@ import time
 
 import numpy as np
 
-BASELINE_A100_PATCHES_PER_SEC = 300.0  # estimated; see module docstring
+BASELINE_A100_PATCHES_PER_SEC = 312.0  # measured; see module docstring
 WARMUP_ITERS = 2
 MEASURE_ITERS = 5
 
