@@ -29,15 +29,14 @@ class TapConv(nn.Module):
     generator's 64->3 reconstruction conv, where a direct conv wastes
     125/128 MXU lanes. Default mode runs the space-to-depth-factored
     formulation (ops/subpixel_conv.py, exact, ~1.5x on the fwd+bwd path at
-    training shapes); mode="xla" forces the direct conv; mode="pallas"
-    runs the experimental Pallas tap kernel (kernels/tap_conv.py).
+    training shapes); mode="xla" forces the direct conv.
     Parameter tree is identical to nn.Conv (kernel HWIO + bias), so
     checkpoints are interchangeable."""
 
     features: int
     kernel_size: tuple[int, int]
     dtype: jnp.dtype = jnp.float32
-    mode: str | None = None  # None=auto (subpixel f=2), "xla", "pallas", "interpret"
+    mode: str | None = None  # None=auto (subpixel f=2), "xla"
 
     @nn.compact
     def __call__(self, x):
@@ -49,10 +48,6 @@ class TapConv(nn.Module):
         x = x.astype(self.dtype)
         kernel = kernel.astype(self.dtype)
         bias = bias.astype(self.dtype)
-        if self.mode in ("pallas", "interpret"):
-            from srgan_st_tpu.kernels.tap_conv import tap_conv
-
-            return tap_conv(x, kernel, bias, self.mode)
         from srgan_st_tpu.ops.subpixel_conv import conv2d_subpixel
 
         factor = 1 if self.mode == "xla" else 2

@@ -83,7 +83,7 @@ class Generator(nn.Module):
     dtype: jnp.dtype = jnp.float32
     axis_name: str | None = None
     remat: bool = False
-    conv3_mode: str | None = None  # None=auto (s2d-factored f=2), "xla", "pallas"
+    conv3_mode: str | None = None  # None=auto (s2d-factored f=2), "xla"
 
     @classmethod
     def from_config(cls, config, dtype=None, axis_name=None):
@@ -146,7 +146,7 @@ class Generator(nn.Module):
         # subpixel_conv.py) — as a direct conv its N=3 output uses 3/128
         # MXU lanes and was the profiled hot spot of GAN training (~2 ms of
         # a 5.6 ms step); the factored form is exact and ~1.5x faster.
-        # conv3_mode: None=auto, "xla"=direct conv, "pallas"=experimental.
+        # conv3_mode: None=auto, "xla"=direct conv.
         x = TapConv(
             self.out_channels, (9, 9), dtype=self.dtype,
             mode=self.conv3_mode, name="conv3",

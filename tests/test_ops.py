@@ -181,46 +181,6 @@ class TestColorMetrics:
         np.testing.assert_allclose(got, golden, atol=1e-6)
 
 
-class TestTapConv:
-    @pytest.mark.parametrize("k,cin,cout", [(9, 64, 3), (3, 8, 2), (5, 16, 1)])
-    def test_matches_lax_conv(self, rng, k, cin, cout):
-        from jax import lax
-
-        from srgan_st_tpu.ops.conv_taps import conv2d_tap_decomposed
-
-        x = jnp.asarray(rng.random((2, 12, 14, cin), dtype=np.float32))
-        w = jnp.asarray(rng.random((k, k, cin, cout), dtype=np.float32) - 0.5)
-        b = jnp.asarray(rng.random((cout,), dtype=np.float32))
-        golden = lax.conv_general_dilated(
-            x, w, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC")
-        ) + b
-        got = conv2d_tap_decomposed(x, w, b)
-        np.testing.assert_allclose(np.asarray(got), np.asarray(golden), atol=2e-5)
-
-    def test_gradients_match(self, rng):
-        import jax
-        from jax import lax
-
-        from srgan_st_tpu.ops.conv_taps import conv2d_tap_decomposed
-
-        x = jnp.asarray(rng.random((1, 8, 8, 16), dtype=np.float32))
-        w = jnp.asarray(rng.random((3, 3, 16, 3), dtype=np.float32) - 0.5)
-
-        def loss_tap(w):
-            return conv2d_tap_decomposed(x, w).sum()
-
-        def loss_lax(w):
-            return lax.conv_general_dilated(
-                x, w, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC")
-            ).sum()
-
-        np.testing.assert_allclose(
-            np.asarray(jax.grad(loss_tap)(w)),
-            np.asarray(jax.grad(loss_lax)(w)),
-            atol=2e-4,
-        )
-
-
 class TestSubpixelConv:
     @pytest.mark.parametrize("f", [2, 4])
     def test_matches_direct_conv(self, rng, f):
