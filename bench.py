@@ -2,11 +2,26 @@
 
 Measures the full jitted GAN training step at the reference's training
 configuration (SURVEY.md §6: batch 16 per chip, 96^2 GT patches, x4
-upscale, criterions = Adversarial + Pixel, D updated every
-SOLVER.D_UPDATE_INTERVAL=100 steps) including the on-device /255 +
-MATLAB-bicubic degradation that replaces the reference's CPU dataloader
-work. Synthetic device-fed batches isolate accelerator throughput; the
-host pipeline only ships uint8 patches.
+upscale, D updated every SOLVER.D_UPDATE_INTERVAL=100 steps) including the
+on-device /255 + MATLAB-bicubic degradation that replaces the reference's
+CPU dataloader work. Synthetic device-fed batches isolate accelerator
+throughput; the host pipeline only ships uint8 patches.
+
+Default run (the driver contract) prints ONE JSON line for the headline
+config (criterions = Adversarial + Pixel, the reference's default GAN
+loop, train.py:131-141 with config.py:71-73). `python bench.py --suite`
+additionally benches the research configs (one JSON line each, and a
+summary table to BENCH_SUITE.md):
+
+  * flagship-st: Adversarial + Pixel + PatchwiseST + ContentDiscriminator —
+    the reference's research loop (loss.py:292-375 + loss.py:230-287),
+    with the fused Pallas buddy-select kernel (production default on TPU);
+  * flagship-st-xla: same config with the buddy selection forced onto the
+    XLA path (kernels/buddy_select.py disabled) — the Pallas-vs-XLA A/B;
+  * gram-vgg: Adversarial + Pixel + Gram + ContentVGG — the GramGAN recipe
+    (loss.py:146-225 + loss.py:11-74). VGG19 runs with converted weights
+    when weights/vgg19_imagenet.npz exists, else random init (identical
+    cost — this is a throughput bench).
 
 Baseline: the reference publishes no numbers (BASELINE.md). The anchor
 below is MEASURED by executing the reference's own input pipeline
@@ -26,13 +41,13 @@ fp32 number): a 60-epoch convergence study showed bf16 training matches
 fp32 exactly (PSNR 25.88 / SSIM 0.6042 vs 0.6025 on the same data and
 seeds) — expected, since TPU fp32 convs already use bf16 MXU passes; bf16
 additionally halves elementwise/BN traffic for ~+22% throughput.
-
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 
 from __future__ import annotations
 
 import json
+import os
+import sys
 import time
 
 import numpy as np
@@ -42,10 +57,35 @@ WARMUP_ITERS = 2
 MEASURE_ITERS = 5
 
 
-def main() -> None:
+def _make_config(name: str):
+    from srgan_st_tpu.core.config import Config
+
+    config = Config()
+    config.add_g_criterion("Pixel", {"kind": "pixel"}, 1.0)
+    if name in ("flagship-st", "flagship-st-xla"):
+        pallas = name == "flagship-st"
+        config.add_g_criterion(
+            "PatchwiseST", {"kind": "patchwise_st", "pallas": pallas}, 100.0
+        )
+        config.add_g_criterion(
+            "ContentDiscriminator", {"kind": "content_disc"}, 2000.0
+        )
+    elif name == "gram-vgg":
+        config.add_g_criterion("Gram", {"kind": "gram"}, 500.0)
+        config.add_g_criterion(
+            "ContentVGG",
+            {"kind": "content_vgg", "allow_random_init": True},
+            1.0,
+        )
+    elif name != "headline":
+        raise ValueError(name)
+    return config
+
+
+def measure(name: str) -> dict:
+    """Bench one config; returns the result record."""
     import jax
 
-    from srgan_st_tpu.core.config import Config
     from srgan_st_tpu.losses.registry import build_criterions
     from srgan_st_tpu.models.discriminator import Discriminator
     from srgan_st_tpu.models.generator import Generator
@@ -57,10 +97,7 @@ def main() -> None:
         make_gan_chunk_step,
     )
 
-    import os
-
-    config = Config()
-    config.add_g_criterion("Pixel", {"kind": "pixel"}, 1.0)
+    config = _make_config(name)
     dtype = os.environ.get("BENCH_DTYPE", "bfloat16")
     config.TPU.COMPUTE_DTYPE = dtype
 
@@ -106,16 +143,43 @@ def main() -> None:
 
     patches = MEASURE_ITERS * k * config.DATA.BATCH_SIZE
     per_chip = patches / elapsed / n_chips
-    print(
-        json.dumps(
-            {
-                "metric": "train_patches_per_sec_per_chip",
-                "value": round(per_chip, 2),
-                "unit": f"patches/s/chip (SRGAN x4, 96px GT, batch 16/chip, Adv+Pixel, {dtype})",
-                "vs_baseline": round(per_chip / BASELINE_A100_PATCHES_PER_SEC, 2),
-            }
-        )
-    )
+    crits = "+".join(config.MODEL.G_LOSS.CRITERIONS)
+    return {
+        "metric": "train_patches_per_sec_per_chip",
+        "value": round(per_chip, 2),
+        "unit": f"patches/s/chip (SRGAN x4, 96px GT, batch 16/chip, {crits}, {dtype})",
+        "vs_baseline": round(per_chip / BASELINE_A100_PATCHES_PER_SEC, 2),
+        "config": name,
+    }
+
+
+def main() -> None:
+    if "--suite" not in sys.argv:
+        record = measure("headline")
+        record.pop("config")
+        print(json.dumps(record))
+        return
+
+    names = ["headline", "flagship-st", "flagship-st-xla", "gram-vgg"]
+    records = []
+    for name in names:
+        record = measure(name)
+        records.append(record)
+        print(json.dumps(record), flush=True)
+
+    lines = [
+        "# Bench suite (TPU, single chip)",
+        "",
+        "Full jitted GAN chunk step (D cadence amortized), on-device",
+        "degradation included. Generated by `python bench.py --suite`.",
+        "",
+        "| config | patches/s/chip | vs 312/s measured A100 anchor |",
+        "|---|---|---|",
+    ]
+    for r in records:
+        lines.append(f"| {r['config']} ({r['unit']}) | {r['value']} | {r['vs_baseline']}x |")
+    with open("BENCH_SUITE.md", "w") as f:
+        f.write("\n".join(lines) + "\n")
 
 
 if __name__ == "__main__":

@@ -75,7 +75,11 @@ class Config:
         self.DATA.SYNTHETIC = False         # use an on-device synthetic dataset (tests/bench)
         self.DATA.SYNTHETIC_N_BATCHES = 64  # synthetic batches per epoch
         self.DATA.PREFETCH = 2              # host->device prefetch depth
-        self.DATA.AUGMENT = False           # random flip/rot90 augmentation (reference has none)
+        self.DATA.AUGMENT = False           # full 8-way dihedral augmentation (reference has none)
+        # Host tile size shipped to the device (None -> GT_IMAGE_SIZE). Tiling
+        # larger (prepare_dataset --output_size 120) enables per-sample random
+        # GT_IMAGE_SIZE^2 crops on device, deterministic across resume.
+        self.DATA.TILE_SIZE = None
         self.DATA.NUM_WORKERS = 4           # decode worker threads
 
         # ------------------------------------------------------------------

@@ -181,9 +181,12 @@ class PackedPatchSource:
 
 
 def make_train_source(config):
+    # tiles may be larger than GT_IMAGE_SIZE — the train step then takes
+    # per-sample random GT_IMAGE_SIZE^2 crops on device (train/steps.py)
+    tile = config.DATA.TILE_SIZE or config.DATA.GT_IMAGE_SIZE
     if config.DATA.SYNTHETIC:
         return SyntheticPatchSource(
-            config.DATA.BATCH_SIZE, config.DATA.GT_IMAGE_SIZE,
+            config.DATA.BATCH_SIZE, tile,
             n_batches=config.DATA.SYNTHETIC_N_BATCHES, seed=config.DATA.SEED,
         )
     gt_dir = config.DATA.TRAIN_GT_IMAGES_DIR
@@ -199,7 +202,7 @@ def make_train_source(config):
     return TrainPatchSource(
         gt_dir,
         config.DATA.BATCH_SIZE,
-        config.DATA.GT_IMAGE_SIZE,
+        tile,
         seed=config.DATA.SEED,
         num_workers=config.DATA.NUM_WORKERS,
         prefetch=config.DATA.PREFETCH,

@@ -78,7 +78,7 @@ def _buddy_select(p1, p2, p2_cat, alpha, beta, dist_norm, pallas=None):
 
 def best_buddy_loss(
     sr, gt, alpha=1.0, beta=1.0, ksize=3, pad=0, stride=3,
-    dist_norm="l2", criterion="l1",
+    dist_norm="l2", criterion="l1", pallas=None,
 ):
     """Best-Buddy loss (reference loss.py:78-141, after the BBGAN paper).
 
@@ -92,7 +92,7 @@ def best_buddy_loss(
     p2_4 = extract_patches(gt_4, ksize, stride, pad)
     p2_cat = jnp.concatenate([p2, p2_2, p2_4], axis=1)
 
-    sel_p2 = _buddy_select(p1, p2, p2_cat, alpha, beta, dist_norm)
+    sel_p2 = _buddy_select(p1, p2, p2_cat, alpha, beta, dist_norm, pallas)
     return _elementwise_criterion(criterion)(p1, sel_p2)
 
 
@@ -109,7 +109,10 @@ def _gram_patches(x, ksize):
     return g.reshape(b, n, c * c)
 
 
-def gram_loss(sr, gt, alpha=1.0, beta=1.0, ksize=3, dist_norm="l2", criterion="l1"):
+def gram_loss(
+    sr, gt, alpha=1.0, beta=1.0, ksize=3, dist_norm="l2", criterion="l1",
+    pallas=None,
+):
     """Gram-matrix best-buddy loss (reference loss.py:146-225, GramGAN)."""
     p1 = _gram_patches(sr, ksize)
     p2 = _gram_patches(gt, ksize)
@@ -117,7 +120,7 @@ def gram_loss(sr, gt, alpha=1.0, beta=1.0, ksize=3, dist_norm="l2", criterion="l
     p2_4 = _gram_patches(resize_bicubic(gt, 0.25, method="torch"), ksize)
     p2_cat = jnp.concatenate([p2, p2_2, p2_4], axis=1)
 
-    sel_p2 = _buddy_select(p1, p2, p2_cat, alpha, beta, dist_norm)
+    sel_p2 = _buddy_select(p1, p2, p2_cat, alpha, beta, dist_norm, pallas)
     return _elementwise_criterion(criterion)(p1, sel_p2)
 
 
@@ -136,7 +139,7 @@ def _st_patches(x, sigma, rho, ksize):
 
 def patchwise_st_loss(
     sr, gt, sigma=0.5, rho=2.0, alpha=1.0, beta=1.0, ksize=3,
-    dist_norm="l2", criterion="l1",
+    dist_norm="l2", criterion="l1", pallas=None,
 ):
     """Patchwise structure-tensor best-buddy loss (reference loss.py:292-375
     — the paper's novel contribution, buddy selection in ST space)."""
@@ -146,7 +149,7 @@ def patchwise_st_loss(
     p2_4 = _st_patches(resize_bicubic(gt, 0.25, method="torch"), sigma, rho, ksize)
     p2_cat = jnp.concatenate([p2, p2_2, p2_4], axis=1)
 
-    sel_p2 = _buddy_select(p1, p2, p2_cat, alpha, beta, dist_norm)
+    sel_p2 = _buddy_select(p1, p2, p2_cat, alpha, beta, dist_norm, pallas)
     return _elementwise_criterion(criterion)(p1, sel_p2)
 
 

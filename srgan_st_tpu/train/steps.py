@@ -84,20 +84,51 @@ def make_d_optimizer(config, steps_per_epoch: int):
 
 # ---------------------------------------------------------------------------
 
-def _prepare_batch(gt, config, aug_key=None):
+def _prepare_batch(gt, config, key=None, augment=False):
     """uint8 NHWC GT batch -> (gt, lr) float32 pair, on device.
 
     Matches the reference data path (dataset.py:23-32): /255, then
-    MATLAB-bicubic x(1/upscale) with quantization. Optional flip/rot90
-    augmentation (reference has none; DATA.AUGMENT, default off)."""
+    MATLAB-bicubic x(1/upscale) with quantization. TPU additions beyond
+    the reference (which pre-tiles patches at exactly the GT size and has
+    no augmentation, prepare_dataset.py:50-68 / dataset.py:9-35):
+
+      * when the incoming tiles are LARGER than DATA.GT_IMAGE_SIZE (e.g.
+        `prepare_dataset --output_size 120`), a per-sample random
+        GT_IMAGE_SIZE^2 crop is taken on device (uint8, pre-normalize);
+      * DATA.AUGMENT applies the full 8-way dihedral group (horizontal
+        flip x rot90^k) per sample, off by default for reference parity.
+
+    Both draws derive from `key` — the callers pass the (DATA.SEED,
+    state.step)-keyed stream, so the crop/augment choices are
+    deterministic across checkpoint resume."""
+    s = int(config.DATA.GT_IMAGE_SIZE)
+    k_crop = k_aug = None
+    if key is not None:
+        k_crop, k_aug = jax.random.split(key)
+    if gt.shape[1] != s or gt.shape[2] != s:
+        if k_crop is None:
+            raise ValueError(
+                f"tile size {gt.shape[1:3]} != GT_IMAGE_SIZE {s} requires a key"
+            )
+        b, ch = gt.shape[0], gt.shape[-1]
+        kh, kw = jax.random.split(k_crop)
+        oh = jax.random.randint(kh, (b,), 0, gt.shape[1] - s + 1)
+        ow = jax.random.randint(kw, (b,), 0, gt.shape[2] - s + 1)
+        gt = jax.vmap(
+            lambda img, y, x: jax.lax.dynamic_slice(img, (y, x, 0), (s, s, ch))
+        )(gt, oh, ow)
     if gt.dtype == jnp.uint8:
         gt = gt.astype(jnp.float32) / 255.0
-    if aug_key is not None:
-        kf, kr = jax.random.split(aug_key)
-        flip = jax.random.bernoulli(kf, shape=(gt.shape[0],))
+    if augment:
+        kf, kr = jax.random.split(k_aug)
+        b = gt.shape[0]
+        flip = jax.random.bernoulli(kf, shape=(b,))
         gt = jnp.where(flip[:, None, None, None], gt[:, :, ::-1], gt)
-        rot = jax.random.bernoulli(kr, shape=(gt.shape[0],))
-        gt = jnp.where(rot[:, None, None, None], jnp.rot90(gt, axes=(1, 2)), gt)
+        rot = jax.random.randint(kr, (b,), 0, 4)
+        rots = jnp.stack(
+            [gt] + [jnp.rot90(gt, r, axes=(1, 2)) for r in (1, 2, 3)]
+        )
+        gt = rots[rot, jnp.arange(b)]
     lr = resize_bicubic(gt, 1.0 / config.DATA.UPSCALE_FACTOR, method="matlab")
     return gt, lr
 
@@ -114,7 +145,7 @@ def make_warmup_step(config, g_model, criterions, g_tx):
 
     def warmup_step(state: GANTrainState, gt_u8):
         gt, lr = _prepare_batch(
-            gt_u8, config, _aug_key(config, state.step) if augment else None
+            gt_u8, config, _aug_key(config, state.step), augment
         )
 
         def loss_fn(g_params):
@@ -157,7 +188,7 @@ def make_gan_steps(config, g_model, d_model, criterions, g_tx, d_tx):
         # D scores real and fake batches independently (no pairing), and
         # flips/rot90 don't change the real-image distribution.
         gt, lr = _prepare_batch(
-            gt_u8, config, _aug_key(config, state.step) if augment else None
+            gt_u8, config, _aug_key(config, state.step), augment
         )
 
         def loss_fn(g_params):
@@ -196,7 +227,9 @@ def make_gan_steps(config, g_model, d_model, criterions, g_tx, d_tx):
         return new_state, jax.lax.stop_gradient(sr), metrics
 
     def d_step(state: GANTrainState, gt_u8, sr):
-        gt, _ = _prepare_batch(gt_u8, config, None)
+        # D sees unaugmented real patches (any random crop of a real tile
+        # is a real patch; its key differs from g_step's by the step bump)
+        gt, _ = _prepare_batch(gt_u8, config, _aug_key(config, state.step))
         sr = jax.lax.stop_gradient(sr)
 
         def loss_fn(d_params):

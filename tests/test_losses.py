@@ -94,13 +94,17 @@ class TestContentLosses:
         crits = losses.build_criterions(config)
         fn, weight = crits["ContentVGG"]
         assert weight == 1.0
-        sr, gt = _pair(rng, size=96)
+        # 48px keeps every tap layer (features.35 is stride-16: 3px maps)
+        # while quartering the CPU compile+run cost of the full-depth VGG
+        sr, gt = _pair(rng, size=48)
         val = float(fn(_nhwc(sr), _nhwc(gt)))
         assert val > 0
         assert float(fn(_nhwc(gt), _nhwc(gt))) == 0.0
 
     def test_disc_content_semantics(self, rng):
         config = Config()
+        # narrow D: tap semantics are width-independent, CPU test speed
+        config.MODEL.D_N_CHANNEL = 8
         config.MODEL.G_LOSS.CRITERIONS = {
             "ContentDiscriminator": {"kind": "content_disc"},
         }

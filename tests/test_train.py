@@ -24,9 +24,11 @@ def tiny_config(tmp_path, name, epochs=1, batches=4, gt_size=96, batch=8):
     config.DATA.GT_IMAGE_SIZE = gt_size
     config.DATA.TEST_SR_IMAGES_DIR = str(tmp_path / "sr")
     config.LOG_TRAIN_PERIOD = 2
-    # small generator for CPU speed; D stays full-size (96x96 hard-wired)
+    # small G and D for CPU speed (D input stays 96x96 — flatten hard-wired;
+    # full-size param counts are covered by test_models.py parity tests)
     config.MODEL.G_N_RCB = 2
     config.MODEL.G_N_CHANNEL = 16
+    config.MODEL.D_N_CHANNEL = 8
     return config
 
 
@@ -349,3 +351,52 @@ class TestChunkCadence:
             losses[aug] = float(metrics["G_Loss"])
         # augmentation flips/rotates some samples -> different loss value
         assert losses[False] != losses[True]
+
+    def test_random_crop_deterministic_across_resume(self, tmp_path):
+        """Tiles larger than GT_IMAGE_SIZE get per-sample random crops on
+        device, keyed by (DATA.SEED, state.step): a resumed run at the same
+        step must take the exact same crops (VERDICT round-1 item 8)."""
+        import jax.numpy as jnp
+
+        from srgan_st_tpu.losses.registry import build_warmup_criterions
+        from srgan_st_tpu.models.generator import Generator
+        from srgan_st_tpu.train.steps import (
+            create_generator_state,
+            make_g_optimizer,
+            make_warmup_step,
+        )
+
+        config = tiny_config(tmp_path, "crop", gt_size=32)
+        config.DATA.TILE_SIZE = 48
+        config.DATA.AUGMENT = True  # crop + full dihedral together
+        g_model = Generator.from_config(config)
+        g_tx = make_g_optimizer(config, 4, milestones=False)
+        crits = build_warmup_criterions(config)
+        step = jax.jit(make_warmup_step(config, g_model, crits, g_tx))
+        tiles = jnp.asarray(
+            np.random.default_rng(7).integers(0, 256, (8, 48, 48, 3), np.uint8)
+        )
+
+        # two independent "processes" from the same checkpoint: same step
+        # index -> identical crop/augment draws -> identical loss
+        losses = []
+        for _ in range(2):
+            state = create_generator_state(config, g_model, g_tx)
+            _, metrics = step(state, tiles)
+            losses.append(float(metrics["G_Loss"]))
+        assert losses[0] == losses[1]
+
+        # advancing the step changes the draws (different crops -> loss)
+        state = create_generator_state(config, g_model, g_tx)
+        state, m0 = step(state, tiles)
+        _, m1 = step(state, tiles)
+        assert float(m1["G_Loss"]) != float(m0["G_Loss"])
+
+    def test_tile_size_flows_from_config_source_to_step(self, tmp_path):
+        from srgan_st_tpu.data.pipeline import make_train_source
+
+        config = tiny_config(tmp_path, "tileflow", gt_size=32)
+        config.DATA.TILE_SIZE = 48
+        src = make_train_source(config)
+        batch = next(src.epoch(0))
+        assert batch.shape[1:] == (48, 48, 3)
