@@ -27,6 +27,8 @@ import numpy as np
 
 from PIL import Image
 
+from srgan_st_tpu.parallel.distributed import process_slice
+
 
 _IMG_EXTS = (".png", ".jpg", ".jpeg", ".bmp", ".tif", ".tiff", ".webp")
 
@@ -50,11 +52,15 @@ class TrainPatchSource:
     pre-tiled HR patches (the output of prepare_dataset.py)."""
 
     def __init__(self, gt_dir: str, batch_size: int, patch_size: int = 96,
-                 seed: int = 0, num_workers: int = 4, prefetch: int = 2):
+                 seed: int = 0, num_workers: int = 4, prefetch: int = 2,
+                 process_index: int | None = None,
+                 process_count: int | None = None):
         self.files = _list_images(gt_dir)
         if not self.files:
             raise FileNotFoundError(f"no images under {gt_dir}")
-        self.batch_size = batch_size
+        self.batch_size = batch_size  # GLOBAL batch size
+        # multi-host: each process decodes only its slice of every batch
+        self._pslice = process_slice(batch_size, process_index, process_count)
         self.patch_size = patch_size
         self.num_workers = max(1, num_workers)
         self.prefetch = prefetch
@@ -104,6 +110,7 @@ class TrainPatchSource:
                     if stop.is_set():
                         return
                     idx = order[b * self.batch_size:(b + 1) * self.batch_size]
+                    idx = idx[self._pslice]  # this process's share
                     q.put(self._load_batch([self.files[i] for i in idx]))
                 q.put(None)
             except Exception as e:  # propagate decode errors to the consumer
@@ -127,11 +134,13 @@ class SyntheticPatchSource:
     """Deterministic synthetic GT patches (tests / benchmarks; no disk IO)."""
 
     def __init__(self, batch_size: int, patch_size: int = 96, n_batches: int = 64,
-                 seed: int = 0, **_unused):
+                 seed: int = 0, process_index: int | None = None,
+                 process_count: int | None = None, **_unused):
         self.batch_size = batch_size
         self.patch_size = patch_size
         self.n_batches = n_batches
         self._rng = np.random.default_rng(seed)
+        self._pslice = process_slice(batch_size, process_index, process_count)
 
     def __len__(self) -> int:
         return self.n_batches
@@ -139,10 +148,13 @@ class SyntheticPatchSource:
     def epoch(self, epoch_idx: int | None = None):
         del epoch_idx  # synthetic data: every epoch is freshly drawn
         for _ in range(self.n_batches):
-            yield self._rng.integers(
+            # draw the full GLOBAL batch so data is process-count-invariant,
+            # then keep this process's slice
+            batch = self._rng.integers(
                 0, 256, (self.batch_size, self.patch_size, self.patch_size, 3),
                 dtype=np.uint8,
             )
+            yield batch[self._pslice]
 
 
 class PackedPatchSource:
@@ -155,7 +167,8 @@ class PackedPatchSource:
     (~0.2 ms each) would bottleneck the input pipeline."""
 
     def __init__(self, pack_path: str, batch_size: int, seed: int = 0,
-                 prefetch: int = 2, **_unused):
+                 prefetch: int = 2, process_index: int | None = None,
+                 process_count: int | None = None, **_unused):
         self.pack = np.load(pack_path, mmap_mode="r")
         if self.pack.ndim != 4 or self.pack.dtype != np.uint8:
             raise ValueError(f"not a patch pack: {pack_path} {self.pack.shape}")
@@ -164,6 +177,7 @@ class PackedPatchSource:
         self.seed = seed
         self.prefetch = prefetch
         self._epoch_counter = 0
+        self._pslice = process_slice(batch_size, process_index, process_count)
 
     def __len__(self) -> int:
         return self.pack.shape[0] // self.batch_size
@@ -176,8 +190,10 @@ class PackedPatchSource:
             self.pack.shape[0]
         )
         for b in range(len(self)):
+            # sort the GLOBAL batch for mmap locality, then take this
+            # process's contiguous share (disjoint across processes)
             idx = np.sort(order[b * self.batch_size:(b + 1) * self.batch_size])
-            yield np.ascontiguousarray(self.pack[idx])
+            yield np.ascontiguousarray(self.pack[idx[self._pslice]])
 
 
 def make_train_source(config):

@@ -18,6 +18,15 @@ The selection is gradient-free by construction (argmin has no gradient and
 the bank derives from ground truth, so the reference's gather backward is
 dead code — see losses/functions.py); the wrapper stops gradients
 explicitly, keeping the kernel forward-only.
+
+MEASURED (round 2, v5e single chip, `bench.py --suite`): in the full
+flagship GAN step (Adv+Pixel+PatchwiseST+ContentDisc, batch 16) the
+kernel is throughput-NEUTRAL vs the XLA path — 3515 vs 3522 patches/s/chip
+(within run noise). XLA evidently keeps its score tensors fused well
+enough at these shapes. The kernel stays the TPU default for its bounded
+VMEM working set (no (B, N, M) HBM intermediates by construction), but it
+is not a speed win at training shapes; `pallas=False` on the buddy losses
+forces the XLA path.
 """
 
 from __future__ import annotations

@@ -40,11 +40,28 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(batch, mesh: Mesh, axis: str = "data"):
-    """Device-put a host batch sharded over the data axis."""
-    return jax.device_put(batch, batch_sharding(mesh, axis))
+    """Device-put a host batch sharded over the data axis.
+
+    Multi-process: `batch` is this process's contiguous slice of the
+    global batch (see parallel.distributed.process_slice); the slices are
+    assembled into one global jax.Array."""
+    sharding = batch_sharding(mesh, axis)
+    if jax.process_count() > 1:
+        batch = np.asarray(batch)
+        global_shape = (batch.shape[0] * jax.process_count(),) + batch.shape[1:]
+        return jax.make_array_from_process_local_data(sharding, batch, global_shape)
+    return jax.device_put(batch, sharding)
 
 
 def shard_chunk(chunk, mesh: Mesh, axis: str = "data"):
     """Device-put a (K, B, ...) stacked chunk of batches, sharding the
-    batch dimension (axis 1) over the data axis."""
-    return jax.device_put(chunk, NamedSharding(mesh, P(None, axis)))
+    batch dimension (axis 1) over the data axis. Multi-process: `chunk`
+    holds this process's slice of every batch (K, B_local, ...)."""
+    sharding = NamedSharding(mesh, P(None, axis))
+    if jax.process_count() > 1:
+        chunk = np.asarray(chunk)
+        global_shape = (
+            chunk.shape[0], chunk.shape[1] * jax.process_count(),
+        ) + chunk.shape[2:]
+        return jax.make_array_from_process_local_data(sharding, chunk, global_shape)
+    return jax.device_put(chunk, sharding)

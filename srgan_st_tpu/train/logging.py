@@ -18,9 +18,15 @@ import time
 
 class ExperimentWriter:
     def __init__(self, config, log_dir: str | None = None):
+        # multi-host: only process 0 writes (one event file per experiment)
+        from srgan_st_tpu.parallel.distributed import is_coordinator
+
+        self._tb = self._jsonl = None
+        self._enabled = is_coordinator()
+        if not self._enabled:
+            return
         self.log_dir = log_dir or os.path.join("tensorboard", config.EXP.NAME)
         os.makedirs(self.log_dir, exist_ok=True)
-        self._tb = None
         try:
             from tensorboardX import SummaryWriter
 
@@ -30,6 +36,8 @@ class ExperimentWriter:
         self.add_text("Config/Params", config.get_all_params())
 
     def add_scalar(self, tag: str, value, step: int) -> None:
+        if not self._enabled:
+            return
         value = float(value)
         if self._tb is not None:
             self._tb.add_scalar(tag, value, step)
@@ -46,11 +54,11 @@ class ExperimentWriter:
     def flush(self) -> None:
         if self._tb is not None:
             self._tb.flush()
-        else:
+        elif self._jsonl is not None:
             self._jsonl.flush()
 
     def close(self) -> None:
         if self._tb is not None:
             self._tb.close()
-        else:
+        elif self._jsonl is not None:
             self._jsonl.close()

@@ -22,6 +22,7 @@ from srgan_st_tpu.eval.validate import make_generator_apply, validate
 from srgan_st_tpu.losses.registry import build_criterions
 from srgan_st_tpu.models.discriminator import Discriminator
 from srgan_st_tpu.models.generator import Generator
+from srgan_st_tpu.parallel.distributed import initialize_distributed, is_coordinator
 from srgan_st_tpu.parallel.mesh import make_mesh, replicated, shard_chunk
 from srgan_st_tpu.train.checkpoint import (
     CheckpointPolicy,
@@ -39,6 +40,8 @@ from srgan_st_tpu.train.utils import chunked_batches, make_test_pairs, resolve_c
 
 
 def train(config):
+    initialize_distributed()  # no-op single-process; see parallel/distributed.py
+    coord = is_coordinator()
     rng = jax.random.key(config.DATA.SEED)
 
     mesh = make_mesh(config)
@@ -140,20 +143,21 @@ def train(config):
         writer.add_scalar("Test/PSNR", psnr, epoch + 1)
         writer.add_scalar("Test/SSIM", ssim, epoch + 1)
 
-        # ---- checkpoints (reference train.py:207-226)
-        d_variables = jax.device_get(
-            {"params": state.d_params, "batch_stats": state.d_stats}
-        )
-        save_variables_npz(os.path.join(results_dir, "g_last.npz"), g_variables)
-        save_variables_npz(os.path.join(results_dir, "d_last.npz"), d_variables)
-        is_best = policy.save_epoch(state, epoch, psnr, ssim)
-        if is_best:
-            save_variables_npz(os.path.join(results_dir, "g_best.npz"), g_variables)
-            save_variables_npz(os.path.join(results_dir, "d_best.npz"), d_variables)
-        if 0 < epoch and epoch % config.G_CHECKPOINT_INTERVAL == 0:
-            save_variables_npz(os.path.join(results_dir, f"g_epoch{epoch}.npz"), g_variables)
-        if 0 < epoch and epoch % config.D_CHECKPOINT_INTERVAL == 0:
-            save_variables_npz(os.path.join(results_dir, f"d_epoch{epoch}.npz"), d_variables)
+        # ---- checkpoints (reference train.py:207-226); process 0 only
+        if coord:
+            d_variables = jax.device_get(
+                {"params": state.d_params, "batch_stats": state.d_stats}
+            )
+            save_variables_npz(os.path.join(results_dir, "g_last.npz"), g_variables)
+            save_variables_npz(os.path.join(results_dir, "d_last.npz"), d_variables)
+            is_best = policy.save_epoch(state, epoch, psnr, ssim)
+            if is_best:
+                save_variables_npz(os.path.join(results_dir, "g_best.npz"), g_variables)
+                save_variables_npz(os.path.join(results_dir, "d_best.npz"), d_variables)
+            if 0 < epoch and epoch % config.G_CHECKPOINT_INTERVAL == 0:
+                save_variables_npz(os.path.join(results_dir, f"g_epoch{epoch}.npz"), g_variables)
+            if 0 < epoch and epoch % config.D_CHECKPOINT_INTERVAL == 0:
+                save_variables_npz(os.path.join(results_dir, f"d_epoch{epoch}.npz"), d_variables)
 
     writer.close()
     return state

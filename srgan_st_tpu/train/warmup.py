@@ -17,6 +17,7 @@ from srgan_st_tpu.data.pipeline import make_train_source
 from srgan_st_tpu.eval.validate import make_generator_apply, validate
 from srgan_st_tpu.losses.registry import build_warmup_criterions
 from srgan_st_tpu.models.generator import Generator
+from srgan_st_tpu.parallel.distributed import initialize_distributed, is_coordinator
 from srgan_st_tpu.parallel.mesh import make_mesh, replicated, shard_chunk
 from srgan_st_tpu.train.checkpoint import CheckpointPolicy, save_variables_npz
 from srgan_st_tpu.train.logging import ExperimentWriter
@@ -29,6 +30,8 @@ from srgan_st_tpu.train.utils import chunked_batches, make_test_pairs, resolve_c
 
 
 def warmup(config):
+    initialize_distributed()  # no-op single-process; see parallel/distributed.py
+    coord = is_coordinator()
     # Seeding is explicit PRNG-key threading (replaces the reference's
     # global init_random_seed, warmup.py:17).
     rng = jax.random.key(config.DATA.SEED)
@@ -110,15 +113,16 @@ def warmup(config):
         writer.add_scalar("Test/PSNR", psnr, epoch + 1)
         writer.add_scalar("Test/SSIM", ssim, epoch + 1)
 
-        # ---- checkpoints (reference warmup.py:128-147)
-        save_variables_npz(os.path.join(results_dir, "g_last.npz"), g_variables)
-        is_best = policy.save_epoch(state, epoch, psnr, ssim)
-        if is_best:
-            save_variables_npz(os.path.join(results_dir, "g_best.npz"), g_variables)
-        if 0 < epoch and epoch % config.G_CHECKPOINT_INTERVAL == 0:
-            save_variables_npz(
-                os.path.join(results_dir, f"g_epoch{epoch}.npz"), g_variables
-            )
+        # ---- checkpoints (reference warmup.py:128-147); process 0 only
+        if coord:
+            save_variables_npz(os.path.join(results_dir, "g_last.npz"), g_variables)
+            is_best = policy.save_epoch(state, epoch, psnr, ssim)
+            if is_best:
+                save_variables_npz(os.path.join(results_dir, "g_best.npz"), g_variables)
+            if 0 < epoch and epoch % config.G_CHECKPOINT_INTERVAL == 0:
+                save_variables_npz(
+                    os.path.join(results_dir, f"g_epoch{epoch}.npz"), g_variables
+                )
 
     writer.close()
     return state

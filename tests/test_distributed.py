@@ -1,0 +1,185 @@
+"""Multi-host (multi-process) readiness tests.
+
+The reference has no distributed support at all (SURVEY.md §2.10); these
+cover the TPU-native replacement: the jax.distributed entry hook, the
+per-process data sharding of the input sources, and a REAL 2-process
+integration run on virtual CPU devices (2 processes x 2 devices = one
+4-device global mesh) executing a data-parallel warmup step.
+"""
+
+import os
+import socket
+import subprocess
+import sys
+import textwrap
+
+import numpy as np
+import pytest
+
+from srgan_st_tpu.parallel.distributed import process_slice
+
+
+class TestProcessSlice:
+    def test_slices_partition_the_batch(self):
+        got = np.zeros(12, bool)
+        for p in range(3):
+            s = process_slice(12, p, 3)
+            assert not got[s].any()  # disjoint
+            got[s] = True
+        assert got.all()  # exhaustive
+
+    def test_contiguous_blocks(self):
+        assert process_slice(8, 0, 2) == slice(0, 4)
+        assert process_slice(8, 1, 2) == slice(4, 8)
+
+    def test_indivisible_batch_rejected(self):
+        with pytest.raises(ValueError):
+            process_slice(10, 0, 3)
+
+    def test_single_process_is_identity(self):
+        assert process_slice(16, 0, 1) == slice(0, 16)
+
+
+class TestSourceSharding:
+    def test_synthetic_slices_concatenate_to_global_batch(self):
+        from srgan_st_tpu.data.pipeline import SyntheticPatchSource
+
+        whole = next(SyntheticPatchSource(8, 16, seed=5).epoch(0))
+        parts = [
+            next(
+                SyntheticPatchSource(
+                    8, 16, seed=5, process_index=p, process_count=2
+                ).epoch(0)
+            )
+            for p in range(2)
+        ]
+        assert parts[0].shape[0] == 4
+        np.testing.assert_array_equal(np.concatenate(parts), whole)
+
+    def test_packed_slices_concatenate_to_global_batch(self, tmp_path):
+        from srgan_st_tpu.data.pipeline import PackedPatchSource
+
+        pack = tmp_path / "patches.pack.npy"
+        np.save(pack, np.random.default_rng(0).integers(
+            0, 256, (32, 8, 8, 3), dtype=np.uint8))
+        whole = next(PackedPatchSource(str(pack), 8, seed=1).epoch(0))
+        parts = [
+            next(PackedPatchSource(
+                str(pack), 8, seed=1, process_index=p, process_count=2
+            ).epoch(0))
+            for p in range(2)
+        ]
+        np.testing.assert_array_equal(np.concatenate(parts), whole)
+
+    def test_train_source_slices_files(self, tmp_path):
+        from PIL import Image
+
+        from srgan_st_tpu.data.pipeline import TrainPatchSource
+
+        for i in range(8):
+            Image.fromarray(
+                np.full((8, 8, 3), i * 31, np.uint8)
+            ).save(tmp_path / f"p{i}.png")
+        whole = next(TrainPatchSource(
+            str(tmp_path), 8, 8, seed=2, num_workers=1).epoch(0))
+        parts = [
+            next(TrainPatchSource(
+                str(tmp_path), 8, 8, seed=2, num_workers=1,
+                process_index=p, process_count=2,
+            ).epoch(0))
+            for p in range(2)
+        ]
+        np.testing.assert_array_equal(np.concatenate(parts), whole)
+
+
+_CHILD = textwrap.dedent(
+    """
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    from srgan_st_tpu.parallel.distributed import initialize_distributed, is_coordinator
+    assert initialize_distributed(), "env vars must trigger initialization"
+    assert jax.process_count() == 2, jax.process_count()
+    assert len(jax.devices()) == 4, jax.devices()
+
+    import numpy as np
+    from srgan_st_tpu.core.config import Config
+    from srgan_st_tpu.data.pipeline import make_train_source
+    from srgan_st_tpu.losses.registry import build_warmup_criterions
+    from srgan_st_tpu.models.generator import Generator
+    from srgan_st_tpu.parallel.mesh import make_mesh, replicated, shard_batch
+    from srgan_st_tpu.train.steps import (
+        create_generator_state, make_g_optimizer, make_warmup_step,
+    )
+
+    config = Config()
+    config.DATA.SYNTHETIC = True
+    config.DATA.BATCH_SIZE = 8     # global; 4 per process, 2 per device
+    config.DATA.GT_IMAGE_SIZE = 32
+    config.MODEL.G_N_RCB = 1
+    config.MODEL.G_N_CHANNEL = 8
+
+    mesh = make_mesh(config)       # 4 global devices
+    source = make_train_source(config)
+    local = next(source.epoch(0))
+    assert local.shape[0] == 4, local.shape
+
+    g_model = Generator.from_config(config)
+    g_tx = make_g_optimizer(config, 4, milestones=False)
+    crits = build_warmup_criterions(config)
+    state = jax.device_put(
+        create_generator_state(config, g_model, g_tx), replicated(mesh)
+    )
+    step = jax.jit(make_warmup_step(config, g_model, crits, g_tx))
+    batch = shard_batch(local, mesh)
+    assert batch.shape[0] == 8, batch.shape  # global array assembled
+    state, metrics = step(state, batch)
+    loss = float(metrics["G_Loss"])
+    assert np.isfinite(loss)
+    print(f"COORD={int(is_coordinator())} LOSS={loss:.9e}", flush=True)
+    """
+)
+
+
+@pytest.mark.slow
+def test_two_process_cpu_mesh_warmup_step(tmp_path):
+    """Launch TWO real processes with jax.distributed over localhost, each
+    owning 2 virtual CPU devices, and run one data-parallel warmup step on
+    the 4-device global mesh (global batch assembled from per-process
+    slices). Both processes must agree on the (psum-reduced) loss."""
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    script = tmp_path / "child.py"
+    script.write_text(_CHILD)
+    procs = []
+    for pid in range(2):
+        env = dict(os.environ)
+        env["SRGAN_ST_COORDINATOR"] = f"127.0.0.1:{port}"
+        env["SRGAN_ST_NUM_PROCESSES"] = "2"
+        env["SRGAN_ST_PROCESS_ID"] = str(pid)
+        env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+        env["PYTHONPATH"] = os.pathsep.join(
+            p for p in [repo, env.get("PYTHONPATH", "")] if p
+        )
+        procs.append(
+            subprocess.Popen(
+                [sys.executable, str(script)],
+                env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+                text=True,
+            )
+        )
+    outs = []
+    for p in procs:
+        out, err = p.communicate(timeout=300)
+        assert p.returncode == 0, f"rc={p.returncode}\n{out}\n{err}"
+        outs.append(out)
+
+    losses = {}
+    for out in outs:
+        line = [ln for ln in out.splitlines() if ln.startswith("COORD=")][-1]
+        coord, loss = line.split()
+        losses[coord] = loss.split("=")[1]
+    assert set(losses) == {"COORD=0", "COORD=1"}  # exactly one coordinator
+    assert len(set(losses.values())) == 1, losses  # identical reduced loss
