@@ -37,19 +37,36 @@ class TapConv(nn.Module):
     kernel_size: tuple[int, int]
     dtype: jnp.dtype = jnp.float32
     mode: str | None = None  # None=auto (subpixel f=2), "xla"
+    # >0: input is the PRE-shuffle activation of a pixel_shuffle(factor)
+    # that was elided by the caller (see generator.py) — run the coarse
+    # conv directly on it. The kernel param keeps its (kh, kw, C, N) HR
+    # shape, so checkpoints are unaffected.
+    pre_shuffle_factor: int = 0
+    # inner s2d factoring of the coarse conv itself (see
+    # conv2d_subpixel_pre_shuffled); 1 = off
+    inner_factor: int = 1
 
     @nn.compact
     def __call__(self, x):
         kh, kw = self.kernel_size
+        f = self.pre_shuffle_factor
+        in_ch = x.shape[-1] // (f * f) if f else x.shape[-1]
         kernel = self.param(
-            "kernel", kaiming_normal, (kh, kw, x.shape[-1], self.features)
+            "kernel", kaiming_normal, (kh, kw, in_ch, self.features)
         )
         bias = self.param("bias", nn.initializers.zeros, (self.features,))
         x = x.astype(self.dtype)
         kernel = kernel.astype(self.dtype)
         bias = bias.astype(self.dtype)
-        from srgan_st_tpu.ops.subpixel_conv import conv2d_subpixel
+        from srgan_st_tpu.ops.subpixel_conv import (
+            conv2d_subpixel,
+            conv2d_subpixel_pre_shuffled,
+        )
 
+        if f:
+            return conv2d_subpixel_pre_shuffled(
+                x, kernel, bias, factor=f, inner_factor=self.inner_factor
+            )
         factor = 1 if self.mode == "xla" else 2
         return conv2d_subpixel(x, kernel, bias, factor=factor)
 

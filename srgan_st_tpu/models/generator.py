@@ -59,6 +59,11 @@ class UpsampleBlock(nn.Module):
     channels: int
     upscale_factor: int
     dtype: jnp.dtype = jnp.float32
+    # skip the pixel_shuffle and return the PRE-shuffle activation — exact
+    # when the consumer elides its matching space-to-depth (TapConv
+    # pre_shuffle_factor). PReLU's single shared slope commutes with the
+    # shuffle, so applying it pre-shuffle is the identical function.
+    fuse_shuffle: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -68,7 +73,8 @@ class UpsampleBlock(nn.Module):
             kernel_init=kaiming_normal, bias_init=nn.initializers.zeros,
             dtype=self.dtype, name="conv",
         )(x)
-        x = pixel_shuffle(x, r)
+        if not self.fuse_shuffle:
+            x = pixel_shuffle(x, r)
         return PReLU(name="prelu")(x)
 
 
@@ -83,7 +89,8 @@ class Generator(nn.Module):
     dtype: jnp.dtype = jnp.float32
     axis_name: str | None = None
     remat: bool = False
-    conv3_mode: str | None = None  # None=auto (s2d-factored f=2), "xla"
+    conv3_mode: str | None = None  # None=fused, "s2d", "xla"
+    conv3_inner: int = 1  # inner s2d factor of the fused coarse conv
 
     @classmethod
     def from_config(cls, config, dtype=None, axis_name=None):
@@ -134,21 +141,34 @@ class Generator(nn.Module):
 
         # Sub-pixel zoom blocks (model.py:118-124)
         if self.upscale in (2, 4, 8):
-            for i in range(int(math.log2(self.upscale))):
-                x = UpsampleBlock(self.channels, 2, dtype=self.dtype, name=f"up{i}")(x)
+            factors = [2] * int(math.log2(self.upscale))
         elif self.upscale == 3:
-            x = UpsampleBlock(self.channels, 3, dtype=self.dtype, name="up0")(x)
+            factors = [3]
         else:
             raise ValueError(f"unsupported upscale factor {self.upscale}")
+        # conv3_mode None (default): the LAST block's pixel-shuffle and the
+        # reconstruction conv's space-to-depth are exact channel-layout
+        # inverses (ops/subpixel_conv.py conv2d_subpixel_pre_shuffled), so
+        # both are elided — the full-HR activation and its layout copies
+        # (~0.35 ms of the 3.6 ms step) never materialize. Exact.
+        fuse = self.conv3_mode is None
+        for i, r in enumerate(factors):
+            last = i == len(factors) - 1
+            x = UpsampleBlock(
+                self.channels, r, dtype=self.dtype,
+                fuse_shuffle=fuse and last, name=f"up{i}",
+            )(x)
 
         # Reconstruction (model.py:127) + clamp (model.py:150). The 64->3
-        # conv defaults to the space-to-depth-factored formulation (ops/
-        # subpixel_conv.py) — as a direct conv its N=3 output uses 3/128
-        # MXU lanes and was the profiled hot spot of GAN training (~2 ms of
-        # a 5.6 ms step); the factored form is exact and ~1.5x faster.
-        # conv3_mode: None=auto, "xla"=direct conv.
+        # conv as a direct conv uses 3/128 MXU lanes (the profiled hot spot
+        # of GAN training, ~2 ms of a 5.6 ms step); conv3_mode: None=fused
+        # coarse conv on the pre-shuffle activations, "s2d"=standalone
+        # space-to-depth factored conv, "xla"=direct conv.
         x = TapConv(
             self.out_channels, (9, 9), dtype=self.dtype,
-            mode=self.conv3_mode, name="conv3",
+            mode=self.conv3_mode,
+            pre_shuffle_factor=factors[-1] if fuse else 0,
+            inner_factor=self.conv3_inner,
+            name="conv3",
         )(x)
         return jnp.clip(x.astype(jnp.float32), 0.0, 1.0)

@@ -88,6 +88,36 @@ def _coarse_kernel(w: jnp.ndarray, f: int) -> jnp.ndarray:
     return wg.reshape(kc, kc, c * f * f, n * f * f)
 
 
+def conv2d_subpixel_pre_shuffled(
+    y: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray | None = None,
+    factor: int = 2, inner_factor: int = 1,
+) -> jnp.ndarray:
+    """conv2d_subpixel(pixel_shuffle(y, f), w, b, factor=f) WITHOUT
+    materializing the shuffle.
+
+    torch pixel-shuffle reads channel c*f^2 + i*f + j (models/common.py)
+    and `space_to_depth` writes channel c*f^2 + ry*f + rx — the identical
+    layout, so s2d(pixel_shuffle(y)) == y and the coarse conv can run
+    directly on the pre-shuffle activations. This fuses the generator's
+    last upsample block with the reconstruction conv: the (B, H, W, C)
+    HR tensor and its two layout copies never exist (profiled at ~0.35 ms
+    of the 3.6 ms training step). Exact — the same dot products.
+
+    `inner_factor` > 1 additionally space-to-depth-factors the coarse conv
+    itself (the N=f^2*n output of the coarse conv still under-fills MXU
+    lanes, e.g. 12/128 for f=2, n=3): the 5x5 C=256->12 conv at H/2
+    becomes a 3x3 C=1024->48 conv at H/4."""
+    w2 = _coarse_kernel(w, factor)
+    if inner_factor > 1:
+        out = conv2d_subpixel(y, w2, None, factor=inner_factor)
+    else:
+        out = lax.conv_general_dilated(
+            y, w2, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC")
+        )
+    out = depth_to_space(out, factor)
+    return out if b is None else out + b
+
+
 def conv2d_subpixel(x: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray | None = None,
                     factor: int = 4) -> jnp.ndarray:
     """SAME-padded NHWC conv via space-to-depth factoring. Requires H, W

@@ -57,13 +57,23 @@ def multistep_lr(base_lr: float, milestones_steps: list[int], gamma: float) -> C
     return schedule
 
 
-def make_optimizer(base_lr, beta1, beta2, eps, weight_decay, milestones_steps, gamma):
+def make_optimizer(base_lr, beta1, beta2, eps, weight_decay, milestones_steps, gamma,
+                   flatten=False):
     """Adam with the reference's hyperparameters — note eps=1e-4, not the
-    torch default (reference config.py:107,114)."""
+    torch default (reference config.py:107,114).
+
+    `flatten` wraps the update in optax.flatten (one fused Adam step over a
+    concatenated vector). MEASURED on v5e (k=20 chunked GAN step, bf16):
+    it LOSES 0.28 ms/step against XLA's per-leaf fusions once the conv3
+    shuffle-fusion is on (3.635 vs 3.359 ms) — the flatten gather/scatter
+    costs more than the launch overhead it saves — so it stays off by
+    default."""
     sched = multistep_lr(base_lr, milestones_steps, gamma)
     if weight_decay:
-        return optax.adamw(sched, b1=beta1, b2=beta2, eps=eps, weight_decay=weight_decay)
-    return optax.adam(sched, b1=beta1, b2=beta2, eps=eps)
+        tx = optax.adamw(sched, b1=beta1, b2=beta2, eps=eps, weight_decay=weight_decay)
+    else:
+        tx = optax.adam(sched, b1=beta1, b2=beta2, eps=eps)
+    return optax.flatten(tx) if flatten else tx
 
 
 def make_g_optimizer(config, steps_per_epoch: int, milestones: bool = True):

@@ -43,6 +43,32 @@ class TestGenerator:
         out = g.apply(variables, jnp.zeros((1, 12, 12, 3)), train=False)
         assert out.shape == (1, 12 * upscale, 12 * upscale, 3)
 
+    @pytest.mark.parametrize("upscale", [4, 3])
+    def test_conv3_modes_agree(self, upscale):
+        """The fused last-shuffle+reconstruction path (conv3_mode=None),
+        the standalone s2d-factored conv ("s2d") and the direct conv
+        ("xla") share one param tree and compute the same function (the
+        factorings reassociate the same dot products)."""
+        kwargs = dict(channels=16, num_rcb=2, upscale=upscale)
+        x = jax.random.uniform(jax.random.key(1), (2, 12, 12, 3))
+        g_fused = Generator(**kwargs)  # default: fused
+        variables = g_fused.init(jax.random.key(0), x, train=False)
+        out_fused = g_fused.apply(variables, x, train=False)
+        for mode in ("s2d", "xla"):
+            out = Generator(**kwargs, conv3_mode=mode).apply(
+                variables, x, train=False
+            )
+            np.testing.assert_allclose(
+                np.asarray(out), np.asarray(out_fused), atol=1e-5,
+                err_msg=f"conv3_mode={mode} upscale={upscale}",
+            )
+        # recursive inner factoring of the fused coarse conv is exact too
+        out = Generator(**kwargs, conv3_inner=2).apply(variables, x, train=False)
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(out_fused), atol=1e-5,
+            err_msg=f"conv3_inner=2 upscale={upscale}",
+        )
+
     def test_batch_stats_update(self, config):
         g = Generator.from_config(config)
         variables = g.init(jax.random.key(0), jnp.zeros((1, 24, 24, 3)), train=False)
