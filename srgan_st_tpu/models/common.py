@@ -43,8 +43,9 @@ class TapConv(nn.Module):
     # shape, so checkpoints are unaffected.
     pre_shuffle_factor: int = 0
     # inner s2d factoring of the coarse conv itself (see
-    # conv2d_subpixel_pre_shuffled); 1 = off
-    inner_factor: int = 1
+    # conv2d_subpixel_pre_shuffled); 1 = off, "pallas" = VMEM-relayout
+    # kernel (kernels/coarse_conv.py, TPU only)
+    inner_factor: int | str = 1
 
     @nn.compact
     def __call__(self, x):

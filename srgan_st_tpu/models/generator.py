@@ -73,9 +73,13 @@ class UpsampleBlock(nn.Module):
             kernel_init=kaiming_normal, bias_init=nn.initializers.zeros,
             dtype=self.dtype, name="conv",
         )(x)
+        # PReLU applied pre-shuffle: its single shared slope commutes with
+        # the shuffle (identical function, torch applies it post-shuffle)
+        # and keeps the activation in the conv's natural layout.
+        x = PReLU(name="prelu")(x)
         if not self.fuse_shuffle:
             x = pixel_shuffle(x, r)
-        return PReLU(name="prelu")(x)
+        return x
 
 
 class Generator(nn.Module):
@@ -90,7 +94,11 @@ class Generator(nn.Module):
     axis_name: str | None = None
     remat: bool = False
     conv3_mode: str | None = None  # None=fused, "s2d", "xla"
-    conv3_inner: int = 1  # inner s2d factor of the fused coarse conv
+    # inner s2d factoring of the fused coarse conv: "pallas" (default) runs
+    # the VMEM-relayout kernel on TPU (kernels/coarse_conv.py, measured
+    # -0.12 ms/step) and falls back to the plain coarse conv off-TPU;
+    # 1 forces the plain coarse conv.
+    conv3_inner: int | str = "pallas"
 
     @classmethod
     def from_config(cls, config, dtype=None, axis_name=None):

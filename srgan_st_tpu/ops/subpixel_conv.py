@@ -28,6 +28,7 @@ import functools
 import math
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 from jax import lax
 
@@ -106,7 +107,18 @@ def conv2d_subpixel_pre_shuffled(
     `inner_factor` > 1 additionally space-to-depth-factors the coarse conv
     itself (the N=f^2*n output of the coarse conv still under-fills MXU
     lanes, e.g. 12/128 for f=2, n=3): the 5x5 C=256->12 conv at H/2
-    becomes a 3x3 C=1024->48 conv at H/4."""
+    becomes a 3x3 C=1024->48 conv at H/4. MEASURED: as XLA ops the s2d
+    relayout copies cost more than the lane gain (inner_factor=2 loses
+    1.2 ms/step) — use inner_factor="pallas" for the VMEM-relayout kernel
+    (kernels/coarse_conv.py) that wins it back; it requires factor==2 and
+    falls back to the plain path off-TPU."""
+    if inner_factor == "pallas":
+        if (factor == 2 and jax.default_backend() == "tpu"
+                and y.shape[1] % 2 == 0 and y.shape[2] % 2 == 0):
+            return _pre_shuffled_f2_pallas(
+                y, w, b if b is not None else jnp.zeros(w.shape[-1], y.dtype)
+            )
+        inner_factor = 1
     w2 = _coarse_kernel(w, factor)
     if inner_factor > 1:
         out = conv2d_subpixel(y, w2, None, factor=inner_factor)
@@ -116,6 +128,40 @@ def conv2d_subpixel_pre_shuffled(
         )
     out = depth_to_space(out, factor)
     return out if b is None else out + b
+
+
+def _pre_shuffled_f2_reference(y, w, b):
+    w2 = _coarse_kernel(w, 2)
+    out = lax.conv_general_dilated(
+        y, w2, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC")
+    )
+    return depth_to_space(out, 2) + b
+
+
+@jax.custom_vjp
+def _pre_shuffled_f2_pallas(y, w, b):
+    """Pallas-forward / XLA-backward conv2d_subpixel_pre_shuffled(f=2).
+    The backward duals (dgrad N=C, wgrad) are already MXU-shaped in XLA;
+    only the forward was lane-starved (see kernels/coarse_conv.py)."""
+    from srgan_st_tpu.kernels.coarse_conv import coarse_conv_s2d
+
+    w2 = _coarse_kernel(w, 2)
+    z = coarse_conv_s2d(y, w2).astype(y.dtype)  # (B, H/2, W/2, 4*N2)
+    out = depth_to_space(z, 2)   # inner factor undone -> (B, H, W, N2)
+    return depth_to_space(out, 2) + b  # outer factor -> (B, 2H, 2W, n)
+
+
+def _pre_shuffled_f2_fwd(y, w, b):
+    return _pre_shuffled_f2_pallas(y, w, b), (y, w, b)
+
+
+def _pre_shuffled_f2_bwd(res, g):
+    y, w, b = res
+    _, vjp = jax.vjp(_pre_shuffled_f2_reference, y, w, b)
+    return vjp(g)
+
+
+_pre_shuffled_f2_pallas.defvjp(_pre_shuffled_f2_fwd, _pre_shuffled_f2_bwd)
 
 
 def conv2d_subpixel(x: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray | None = None,
