@@ -22,11 +22,15 @@ from srgan_st_tpu.losses import functions as F
 
 
 def _build_content_vgg(config, spec):
+    import jax.numpy as jnp
+
     from srgan_st_tpu.models.vgg import VGG19Features, load_vgg19_npz
 
     layer_weights = dict(config.MODEL.G_LOSS.VGG19_LAYERS)
     taps = tuple(layer_weights)
-    model = VGG19Features(taps=taps)
+    # VGG runs at the step's compute dtype (bf16 halves its activation
+    # traffic; f32 default keeps strict reference parity)
+    model = VGG19Features(taps=taps, dtype=jnp.dtype(config.TPU.COMPUTE_DTYPE))
     weights_path = spec.get("weights", config.MODEL.G_LOSS.VGG19_WEIGHTS)
     try:
         variables = load_vgg19_npz(weights_path, taps)
