@@ -102,7 +102,10 @@ def measure(name: str) -> dict:
     config.TPU.COMPUTE_DTYPE = dtype
 
     n_chips = len(jax.devices())
-    config.DATA.BATCH_SIZE = 16 * n_chips  # reference batch per chip
+    # reference batch per chip (16); BENCH_BATCH overrides for capability
+    # measurements at larger per-chip batches (not the parity recipe)
+    per_chip_batch = int(os.environ.get("BENCH_BATCH", "16"))
+    config.DATA.BATCH_SIZE = per_chip_batch * n_chips
 
     mesh = make_mesh(config)
     g_model = Generator.from_config(config)
@@ -147,7 +150,7 @@ def measure(name: str) -> dict:
     return {
         "metric": "train_patches_per_sec_per_chip",
         "value": round(per_chip, 2),
-        "unit": f"patches/s/chip (SRGAN x4, 96px GT, batch 16/chip, {crits}, {dtype})",
+        "unit": f"patches/s/chip (SRGAN x4, 96px GT, batch {per_chip_batch}/chip, {crits}, {dtype})",
         "vs_baseline": round(per_chip / BASELINE_A100_PATCHES_PER_SEC, 2),
         "config": name,
     }
