@@ -25,16 +25,31 @@ from srgan_st_tpu.ops.structure_tensor import (
 
 
 def _elementwise_criterion(name: str):
+    # accumulate in f32 regardless of compute dtype (bf16 means over ~1e4+
+    # elements lose mantissa; no-op for f32 inputs)
     if name == "l1":
-        return lambda a, b: jnp.abs(a - b).mean()
+        return lambda a, b: jnp.abs(a.astype(jnp.float32) - b.astype(jnp.float32)).mean()
     if name in ("l2", "mse"):
-        return lambda a, b: ((a - b) ** 2).mean()
+        return lambda a, b: ((a.astype(jnp.float32) - b.astype(jnp.float32)) ** 2).mean()
     raise NotImplementedError(f"{name} criterion has not been implemented.")
 
 
+def _cast_pair(sr, gt, dtype):
+    """Optional loss-side compute dtype (None keeps the incoming f32 —
+    strict reference parity; the GAN step passes TPU.COMPUTE_DTYPE so the
+    loss pipeline matches the model's bf16 when selected)."""
+    if dtype is None:
+        return sr, gt
+    dtype = jnp.dtype(dtype)
+    return sr.astype(dtype), gt.astype(dtype)
+
+
 # ---------------------------------------------------------------------------
-def pixel_loss(sr, gt, criterion: str = "mse"):
-    """Plain pixel loss — the warmup criterion (reference config.py:88-93)."""
+def pixel_loss(sr, gt, criterion: str = "mse", dtype=None):
+    """Plain pixel loss — the warmup criterion (reference config.py:88-93).
+    (`dtype` accepted for registry uniformity; the criterion accumulates
+    in f32 either way.)"""
+    sr, gt = _cast_pair(sr, gt, dtype)
     return _elementwise_criterion(criterion)(sr, gt)
 
 
@@ -78,12 +93,13 @@ def _buddy_select(p1, p2, p2_cat, alpha, beta, dist_norm, pallas=None):
 
 def best_buddy_loss(
     sr, gt, alpha=1.0, beta=1.0, ksize=3, pad=0, stride=3,
-    dist_norm="l2", criterion="l1", pallas=None,
+    dist_norm="l2", criterion="l1", pallas=None, dtype=None,
 ):
     """Best-Buddy loss (reference loss.py:78-141, after the BBGAN paper).
 
     Candidate bank = gt patches at full, 1/2 and 1/4 scale (torch-bicubic
     downscales, loss.py:123-128)."""
+    sr, gt = _cast_pair(sr, gt, dtype)
     p1 = extract_patches(sr, ksize, stride, pad)
     p2 = extract_patches(gt, ksize, stride, pad)
     gt_2 = resize_bicubic(gt, 0.5, method="torch")
@@ -111,9 +127,10 @@ def _gram_patches(x, ksize):
 
 def gram_loss(
     sr, gt, alpha=1.0, beta=1.0, ksize=3, dist_norm="l2", criterion="l1",
-    pallas=None,
+    pallas=None, dtype=None,
 ):
     """Gram-matrix best-buddy loss (reference loss.py:146-225, GramGAN)."""
+    sr, gt = _cast_pair(sr, gt, dtype)
     p1 = _gram_patches(sr, ksize)
     p2 = _gram_patches(gt, ksize)
     p2_2 = _gram_patches(resize_bicubic(gt, 0.5, method="torch"), ksize)
@@ -139,10 +156,11 @@ def _st_patches(x, sigma, rho, ksize):
 
 def patchwise_st_loss(
     sr, gt, sigma=0.5, rho=2.0, alpha=1.0, beta=1.0, ksize=3,
-    dist_norm="l2", criterion="l1", pallas=None,
+    dist_norm="l2", criterion="l1", pallas=None, dtype=None,
 ):
     """Patchwise structure-tensor best-buddy loss (reference loss.py:292-375
     — the paper's novel contribution, buddy selection in ST space)."""
+    sr, gt = _cast_pair(sr, gt, dtype)
     p1 = _st_patches(sr, sigma, rho, ksize)
     p2 = _st_patches(gt, sigma, rho, ksize)
     p2_2 = _st_patches(resize_bicubic(gt, 0.5, method="torch"), sigma, rho, ksize)
@@ -154,9 +172,10 @@ def patchwise_st_loss(
 
 
 # ---------------------------------------------------------------------------
-def st_loss(sr, gt, sigma=0.5, rho=2.0, normalize=True):
+def st_loss(sr, gt, sigma=0.5, rho=2.0, normalize=True, dtype=None):
     """Whole-image structure-tensor loss (reference loss.py:380-413):
     Riemannian distance field between the ST of sr and gt, averaged."""
+    sr, gt = _cast_pair(sr, gt, dtype)
     gray_sr = rgb_to_grayscale(sr).transpose(0, 3, 1, 2)  # (B, 1, H, W)
     gray_gt = rgb_to_grayscale(gt).transpose(0, 3, 1, 2)
     s_sr = structure_tensor(gray_sr, sigma=sigma, rho=rho)

@@ -121,6 +121,9 @@ def build_one(config, name: str, spec: dict) -> Callable | None:
         return _build_content_disc(config, spec)
     if kind in _SIMPLE_KINDS:
         spec.pop("allow_random_init", None)
+        # loss pipeline runs at the step's compute dtype unless the spec
+        # pins one ("dtype": None keeps strict f32); f32 default is a no-op
+        spec.setdefault("dtype", config.TPU.COMPUTE_DTYPE)
         return functools.partial(_SIMPLE_KINDS[kind], **spec)
     raise NotImplementedError(f"criterion kind '{kind}' has not been implemented.")
 
