@@ -169,6 +169,14 @@ class Config:
         self.TPU = dotdict()
         self.TPU.MESH_SHAPE = None          # None -> 1-D ('data',) mesh over all devices
         self.TPU.MESH_AXES = ("data",)
+        # Explicit-SPMD training: wrap the chunk step in jax.shard_map with
+        # lax.pmean gradient reduction and axis_name sync-BN, instead of the
+        # default GSPMD path (jit over sharded arrays). Needed for peak
+        # multi-chip throughput when Pallas kernels are enabled — GSPMD
+        # cannot propagate shardings through custom calls. Numerics match
+        # GSPMD (test_train.py::test_shard_map_step_matches_gspmd).
+        self.TPU.SHARD_MAP = False
+        self.TPU.SHARD_MAP_AXIS = None      # set by the drivers from MESH_AXES
         # "bfloat16" is a validated fast option: converges identically to
         # fp32 on the convergence study (PSNR 25.88 both, 60-epoch warmup)
         # since TPU fp32 convs already use bf16 MXU passes; fp32 stays the

@@ -53,6 +53,49 @@ def shard_batch(batch, mesh: Mesh, axis: str = "data"):
     return jax.device_put(batch, sharding)
 
 
+def shard_map_step(fn, mesh: Mesh, in_specs, out_specs):
+    """Wrap a train-step function in explicit-SPMD `jax.shard_map`.
+
+    The GSPMD path (plain jit over sharded arrays) is the default — XLA
+    derives the psum/all-gather collectives from shardings. This explicit
+    path exists because Pallas custom calls (kernels/{buddy_select,
+    coarse_conv}.py) are opaque to GSPMD's sharding propagation: on a
+    multi-chip mesh GSPMD would all-gather their operands. Under shard_map
+    every kernel runs on the per-shard batch and the step's own
+    lax.pmean calls (train/steps.py `_pmean_if_sharded`, flax BatchNorm
+    `axis_name`) perform the gradient / batch-stat reductions explicitly —
+    the SURVEY §2.10 design. check_vma off: custom_vjp + pallas calls
+    aren't varying-axis annotated."""
+    return jax.shard_map(
+        fn, mesh=mesh, in_specs=in_specs, out_specs=out_specs, check_vma=False
+    )
+
+
+def shard_map_gan_chunk(chunk_step, mesh: Mesh, axis: str = "data"):
+    """shard_map a GAN chunk step (state, chunk, do_d_update) — state
+    replicated, chunk batch-sharded on dim 1. `do_d_update` stays a static
+    python bool (two wrapped variants)."""
+    variants = {
+        do_d: shard_map_step(
+            lambda state, chunk, _d=do_d: chunk_step(state, chunk, _d),
+            mesh, in_specs=(P(), P(None, axis)), out_specs=(P(), P()),
+        )
+        for do_d in (False, True)
+    }
+
+    def wrapped(state, chunk, do_d_update: bool = True):
+        return variants[bool(do_d_update)](state, chunk)
+
+    return wrapped
+
+
+def shard_map_warmup_chunk(chunk_step, mesh: Mesh, axis: str = "data"):
+    """shard_map a warmup chunk step (state, chunk)."""
+    return shard_map_step(
+        chunk_step, mesh, in_specs=(P(), P(None, axis)), out_specs=(P(), P())
+    )
+
+
 def shard_chunk(chunk, mesh: Mesh, axis: str = "data"):
     """Device-put a (K, B, ...) stacked chunk of batches, sharding the
     batch dimension (axis 1) over the data axis. Multi-process: `chunk`

@@ -145,8 +145,26 @@ def _prepare_batch(gt, config, key=None, augment=False):
 
 def _aug_key(config, step):
     """Per-step augmentation key derived from (DATA.SEED, state.step) —
-    deterministic across resumes, no key-threading through the drivers."""
-    return jax.random.fold_in(jax.random.key(config.DATA.SEED + 7), step)
+    deterministic across resumes, no key-threading through the drivers.
+
+    Under the explicit-SPMD (shard_map) step the shard index is folded in
+    so each shard draws independent crop/augment decisions for its local
+    samples (still deterministic)."""
+    key = jax.random.fold_in(jax.random.key(config.DATA.SEED + 7), step)
+    axis = config.TPU.get("SHARD_MAP_AXIS")
+    if axis:
+        key = jax.random.fold_in(key, jax.lax.axis_index(axis))
+    return key
+
+
+def _pmean_if_sharded(config, *trees):
+    """lax.pmean over the shard_map axis (no-op in the GSPMD path, where
+    XLA derives the collectives from shardings instead)."""
+    axis = config.TPU.get("SHARD_MAP_AXIS")
+    if not axis:
+        return trees if len(trees) > 1 else trees[0]
+    out = tuple(jax.lax.pmean(t, axis) for t in trees)
+    return out if len(out) > 1 else out[0]
 
 
 def make_warmup_step(config, g_model, criterions, g_tx):
@@ -174,6 +192,7 @@ def make_warmup_step(config, g_model, criterions, g_tx):
         (total, (values, g_stats)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.g_params
         )
+        grads, total, values = _pmean_if_sharded(config, grads, total, values)
         updates, g_opt = g_tx.update(grads, state.g_opt, state.g_params)
         g_params = optax.apply_updates(state.g_params, updates)
         metrics = dict(values, G_Loss=total)
@@ -226,6 +245,7 @@ def make_gan_steps(config, g_model, d_model, criterions, g_tx, d_tx):
         (total, (values, g_stats, d_stats, sr)), grads = jax.value_and_grad(
             loss_fn, has_aux=True
         )(state.g_params)
+        grads, total, values = _pmean_if_sharded(config, grads, total, values)
         updates, g_opt = g_tx.update(grads, state.g_opt, state.g_params)
         g_params = optax.apply_updates(state.g_params, updates)
         metrics = dict(values, G_Loss=total)
@@ -258,12 +278,17 @@ def make_gan_steps(config, g_model, d_model, criterions, g_tx, d_tx):
         (d_loss, (d_stats, pred_gt, pred_sr)), grads = jax.value_and_grad(
             loss_fn, has_aux=True
         )(state.d_params)
+        grads, d_loss = _pmean_if_sharded(config, grads, d_loss)
         updates, d_opt = d_tx.update(grads, state.d_opt, state.d_params)
         d_params = optax.apply_updates(state.d_params, updates)
         metrics = {
             "D_Loss": d_loss,
-            "D(GT)_Probability": jax.nn.sigmoid(pred_gt.mean()),
-            "D(SR)_Probability": jax.nn.sigmoid(pred_sr.mean()),
+            "D(GT)_Probability": _pmean_if_sharded(
+                config, jax.nn.sigmoid(pred_gt.mean())
+            ),
+            "D(SR)_Probability": _pmean_if_sharded(
+                config, jax.nn.sigmoid(pred_sr.mean())
+            ),
         }
         return (
             state.replace(d_params=d_params, d_stats=d_stats, d_opt=d_opt),

@@ -48,8 +48,12 @@ def train(config):
     source = make_train_source(config)
     steps_per_epoch = len(source)
 
-    g_model = Generator.from_config(config)
-    d_model = Discriminator.from_config(config)
+    # explicit-SPMD option (see core/config.py TPU.SHARD_MAP): models get
+    # the mesh axis for sync-BN; steps pmean grads/metrics over it
+    axis = config.TPU.MESH_AXES[0] if config.TPU.get("SHARD_MAP") else None
+    config.TPU.SHARD_MAP_AXIS = axis
+    g_model = Generator.from_config(config, axis_name=axis)
+    d_model = Discriminator.from_config(config, axis_name=axis)
     g_tx = make_g_optimizer(config, steps_per_epoch)
     d_tx = make_d_optimizer(config, steps_per_epoch)
     criterions = build_criterions(config)
@@ -84,6 +88,10 @@ def train(config):
         from srgan_st_tpu.utils.debugging import nan_guard
 
         chunk_step = nan_guard(chunk_step)
+    if axis:
+        from srgan_st_tpu.parallel.mesh import shard_map_gan_chunk
+
+        chunk_step = shard_map_gan_chunk(chunk_step, mesh, axis)
     chunk_fn = jax.jit(chunk_step, donate_argnums=0, static_argnums=2)
 
     writer = ExperimentWriter(config)

@@ -40,7 +40,10 @@ def warmup(config):
     source = make_train_source(config)
     steps_per_epoch = len(source)
 
-    g_model = Generator.from_config(config)
+    # explicit-SPMD option (see core/config.py TPU.SHARD_MAP)
+    axis = config.TPU.MESH_AXES[0] if config.TPU.get("SHARD_MAP") else None
+    config.TPU.SHARD_MAP_AXIS = axis
+    g_model = Generator.from_config(config, axis_name=axis)
     g_tx = make_g_optimizer(config, steps_per_epoch, milestones=False)
     criterions = build_warmup_criterions(config)
 
@@ -56,6 +59,10 @@ def warmup(config):
         from srgan_st_tpu.utils.debugging import nan_guard
 
         chunk_step = nan_guard(chunk_step)
+    if axis:
+        from srgan_st_tpu.parallel.mesh import shard_map_warmup_chunk
+
+        chunk_step = shard_map_warmup_chunk(chunk_step, mesh, axis)
     chunk_fn = jax.jit(chunk_step, donate_argnums=0)
 
     writer = ExperimentWriter(config)

@@ -216,6 +216,58 @@ class TestSharding:
         leaf = state.g_params["conv1"]["kernel"]
         assert len(leaf.sharding.device_set) == 8
 
+    def test_shard_map_step_matches_gspmd(self, tmp_path):
+        """The explicit-SPMD (shard_map + lax.pmean + axis_name sync-BN)
+        warmup step computes the same update as the default GSPMD path
+        (jit over sharded arrays) on the 8-device mesh."""
+        import jax.numpy as jnp
+
+        from srgan_st_tpu.data.pipeline import SyntheticPatchSource
+        from srgan_st_tpu.losses.registry import build_warmup_criterions
+        from srgan_st_tpu.models.generator import Generator
+        from srgan_st_tpu.parallel.mesh import (
+            make_mesh,
+            replicated,
+            shard_chunk,
+            shard_map_warmup_chunk,
+        )
+        from srgan_st_tpu.train.steps import (
+            create_generator_state,
+            make_g_optimizer,
+            make_warmup_chunk_step,
+        )
+
+        chunk_np = np.stack(
+            [b for _, b in zip(range(2), SyntheticPatchSource(16, 32, seed=2).epoch())]
+        )
+        results = {}
+        for shard in (False, True):
+            config = tiny_config(tmp_path, f"sm{shard}", gt_size=32, batch=16)
+            axis = "data" if shard else None
+            config.TPU.SHARD_MAP = shard
+            config.TPU.SHARD_MAP_AXIS = axis
+            mesh = make_mesh(config)
+            g_model = Generator.from_config(config, axis_name=axis)
+            g_tx = make_g_optimizer(config, 4, milestones=False)
+            crits = build_warmup_criterions(config)
+            state = jax.device_put(
+                create_generator_state(config, g_model, g_tx), replicated(mesh)
+            )
+            step = make_warmup_chunk_step(config, g_model, crits, g_tx)
+            if axis:
+                step = shard_map_warmup_chunk(step, mesh, axis)
+            state, metrics = jax.jit(step)(state, shard_chunk(chunk_np, mesh))
+            results[shard] = (
+                float(metrics["G_Loss"]),
+                np.asarray(state.g_params["conv1"]["kernel"]),
+                np.asarray(state.g_stats["bn2"]["mean"]),
+            )
+
+        assert results[False][0] == pytest.approx(results[True][0], rel=1e-5)
+        np.testing.assert_allclose(results[True][1], results[False][1], atol=1e-6)
+        # sync-BN: pmean'd per-shard stats == global batch stats
+        np.testing.assert_allclose(results[True][2], results[False][2], atol=1e-6)
+
     def test_gan_dryrun_multichip(self):
         """The full multi-chip GAN dry run (the driver's entry) on the
         8-device CPU mesh: sharded batch, replicated state, G+D updates."""
