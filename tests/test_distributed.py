@@ -135,7 +135,29 @@ _CHILD = textwrap.dedent(
     state, metrics = step(state, batch)
     loss = float(metrics["G_Loss"])
     assert np.isfinite(loss)
-    print(f"COORD={int(is_coordinator())} LOSS={loss:.9e}", flush=True)
+
+    # explicit-SPMD path over the MULTI-HOST mesh: shard_map + pmean +
+    # axis_name sync-BN (the path that keeps Pallas kernels per-shard)
+    from srgan_st_tpu.parallel.mesh import shard_map_step
+    from jax.sharding import PartitionSpec as Pspec
+
+    config.TPU.SHARD_MAP = True
+    config.TPU.SHARD_MAP_AXIS = "data"
+    g_sm = Generator.from_config(config, axis_name="data")
+    sm_state = jax.device_put(
+        create_generator_state(config, g_sm, g_tx),
+        jax.NamedSharding(mesh, Pspec()),
+    )
+    sm_step = jax.jit(shard_map_step(
+        make_warmup_step(config, g_sm, crits, g_tx),
+        mesh, in_specs=(Pspec(), Pspec("data")), out_specs=(Pspec(), Pspec()),
+    ))
+    sm_state, sm_metrics = sm_step(sm_state, batch)
+    sm_loss = float(sm_metrics["G_Loss"])
+    assert np.isfinite(sm_loss)
+
+    print(f"COORD={int(is_coordinator())} LOSS={loss:.9e} SMLOSS={sm_loss:.9e}",
+          flush=True)
     """
 )
 
@@ -176,10 +198,12 @@ def test_two_process_cpu_mesh_warmup_step(tmp_path):
         assert p.returncode == 0, f"rc={p.returncode}\n{out}\n{err}"
         outs.append(out)
 
-    losses = {}
+    losses, sm_losses = {}, set()
     for out in outs:
         line = [ln for ln in out.splitlines() if ln.startswith("COORD=")][-1]
-        coord, loss = line.split()
+        coord, loss, sm = line.split()
         losses[coord] = loss.split("=")[1]
+        sm_losses.add(sm.split("=")[1])
     assert set(losses) == {"COORD=0", "COORD=1"}  # exactly one coordinator
     assert len(set(losses.values())) == 1, losses  # identical reduced loss
+    assert len(sm_losses) == 1, sm_losses  # shard_map path agrees across hosts
