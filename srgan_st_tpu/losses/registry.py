@@ -124,6 +124,15 @@ def build_one(config, name: str, spec: dict) -> Callable | None:
         # loss pipeline runs at the step's compute dtype unless the spec
         # pins one ("dtype": None keeps strict f32); f32 default is a no-op
         spec.setdefault("dtype", config.TPU.COMPUTE_DTYPE)
+        if kind in ("best_buddy", "gram", "patchwise_st") and "pallas" not in spec:
+            # the Pallas buddy-select kernel is opaque to GSPMD sharding
+            # propagation: keep it only where it stays per-shard (single
+            # device, or the explicit shard_map path); None = the
+            # backend-based auto in losses/functions.py
+            gspmd_safe = (
+                config.TPU.get("SHARD_MAP_AXIS") or jax.device_count() == 1
+            )
+            spec["pallas"] = None if gspmd_safe else False
         return functools.partial(_SIMPLE_KINDS[kind], **spec)
     raise NotImplementedError(f"criterion kind '{kind}' has not been implemented.")
 

@@ -94,11 +94,13 @@ class Generator(nn.Module):
     axis_name: str | None = None
     remat: bool = False
     conv3_mode: str | None = None  # None=fused, "s2d", "xla"
-    # inner s2d factoring of the fused coarse conv: "pallas" (default) runs
-    # the VMEM-relayout kernel on TPU (kernels/coarse_conv.py, measured
-    # -0.12 ms/step) and falls back to the plain coarse conv off-TPU;
-    # 1 forces the plain coarse conv.
-    conv3_inner: int | str = "pallas"
+    # inner s2d factoring of the fused coarse conv: None (default) =
+    # auto — the VMEM-relayout Pallas kernel (kernels/coarse_conv.py,
+    # measured -0.12 ms/step) when it is GSPMD-safe (single device, or
+    # explicit-SPMD via axis_name so the kernel runs per-shard; a GSPMD
+    # multi-chip mesh would all-gather custom-call operands), else the
+    # plain XLA coarse conv. "pallas"/1 force a path.
+    conv3_inner: int | str | None = None
 
     @classmethod
     def from_config(cls, config, dtype=None, axis_name=None):
@@ -172,11 +174,17 @@ class Generator(nn.Module):
         # of GAN training, ~2 ms of a 5.6 ms step); conv3_mode: None=fused
         # coarse conv on the pre-shuffle activations, "s2d"=standalone
         # space-to-depth factored conv, "xla"=direct conv.
+        inner = self.conv3_inner
+        if inner is None:  # auto: Pallas only where it stays per-shard
+            import jax
+
+            gspmd_safe = self.axis_name is not None or jax.device_count() == 1
+            inner = "pallas" if gspmd_safe else 1
         x = TapConv(
             self.out_channels, (9, 9), dtype=self.dtype,
             mode=self.conv3_mode,
             pre_shuffle_factor=factors[-1] if fuse else 0,
-            inner_factor=self.conv3_inner,
+            inner_factor=inner,
             name="conv3",
         )(x)
         return jnp.clip(x.astype(jnp.float32), 0.0, 1.0)

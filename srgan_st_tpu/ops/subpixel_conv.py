@@ -113,7 +113,12 @@ def conv2d_subpixel_pre_shuffled(
     (kernels/coarse_conv.py) that wins it back; it requires factor==2 and
     falls back to the plain path off-TPU."""
     if inner_factor == "pallas":
-        if (factor == 2 and jax.default_backend() == "tpu"
+        # kernels/coarse_conv.py holds one image's padded half-res
+        # activation in VMEM with no spatial tiling — bound its use to
+        # training-scale inputs (48x48x256 is ~1.4 MB; whole-image eval on
+        # real test sets would blow VMEM) and fall back to XLA elsewhere.
+        fits_vmem = y.shape[1] * y.shape[2] <= 96 * 96
+        if (factor == 2 and jax.default_backend() == "tpu" and fits_vmem
                 and y.shape[1] % 2 == 0 and y.shape[2] % 2 == 0):
             return _pre_shuffled_f2_pallas(
                 y, w, b if b is not None else jnp.zeros(w.shape[-1], y.dtype)

@@ -134,11 +134,10 @@ def _prepare_batch(gt, config, key=None, augment=False):
         b = gt.shape[0]
         flip = jax.random.bernoulli(kf, shape=(b,))
         gt = jnp.where(flip[:, None, None, None], gt[:, :, ::-1], gt)
-        rot = jax.random.randint(kr, (b,), 0, 4)
-        rots = jnp.stack(
-            [gt] + [jnp.rot90(gt, r, axes=(1, 2)) for r in (1, 2, 3)]
-        )
-        gt = rots[rot, jnp.arange(b)]
+        # per-sample rot90^k via a where-chain (no (4, B, ...) stack+gather)
+        rot = jax.random.randint(kr, (b,), 0, 4)[:, None, None, None]
+        for r in (1, 2, 3):
+            gt = jnp.where(rot == r, jnp.rot90(gt, r, axes=(1, 2)), gt)
     lr = resize_bicubic(gt, 1.0 / config.DATA.UPSCALE_FACTOR, method="matlab")
     return gt, lr
 
@@ -281,14 +280,15 @@ def make_gan_steps(config, g_model, d_model, criterions, g_tx, d_tx):
         grads, d_loss = _pmean_if_sharded(config, grads, d_loss)
         updates, d_opt = d_tx.update(grads, state.d_opt, state.d_params)
         d_params = optax.apply_updates(state.d_params, updates)
+        # pmean the pre-sigmoid means so sharded == global semantics
+        # (sigmoid(global mean), matching the reference train.py:174-179)
+        mean_gt, mean_sr = _pmean_if_sharded(
+            config, pred_gt.mean(), pred_sr.mean()
+        )
         metrics = {
             "D_Loss": d_loss,
-            "D(GT)_Probability": _pmean_if_sharded(
-                config, jax.nn.sigmoid(pred_gt.mean())
-            ),
-            "D(SR)_Probability": _pmean_if_sharded(
-                config, jax.nn.sigmoid(pred_sr.mean())
-            ),
+            "D(GT)_Probability": jax.nn.sigmoid(mean_gt),
+            "D(SR)_Probability": jax.nn.sigmoid(mean_sr),
         }
         return (
             state.replace(d_params=d_params, d_stats=d_stats, d_opt=d_opt),

@@ -139,17 +139,20 @@ def train(config):
                 )
             batch_num += len(chunk)
 
-        # ---- validate (reference train.py:191-201)
+        # ---- validate (reference train.py:191-201); coordinator only —
+        # non-coordinators would discard the result (pure local compute)
         g_variables = jax.device_get(
             {"params": state.g_params, "batch_stats": state.g_stats}
         )
-        psnr, ssim = validate(
-            make_generator_apply(config, g_variables), test_pairs, config
-        )
-        if epoch % config.LOG_VALIDATION_PERIOD == 0:
-            print(f"[Test: {epoch+1}/{config.EXP.N_EPOCHS}] [PSNR: {psnr}] [SSIM: {ssim}]")
-        writer.add_scalar("Test/PSNR", psnr, epoch + 1)
-        writer.add_scalar("Test/SSIM", ssim, epoch + 1)
+        psnr = ssim = float("nan")
+        if coord:
+            psnr, ssim = validate(
+                make_generator_apply(config, g_variables), test_pairs, config
+            )
+            if epoch % config.LOG_VALIDATION_PERIOD == 0:
+                print(f"[Test: {epoch+1}/{config.EXP.N_EPOCHS}] [PSNR: {psnr}] [SSIM: {ssim}]")
+            writer.add_scalar("Test/PSNR", psnr, epoch + 1)
+            writer.add_scalar("Test/SSIM", ssim, epoch + 1)
 
         # ---- checkpoints (reference train.py:207-226); process 0 only
         if coord:

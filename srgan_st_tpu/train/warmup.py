@@ -110,15 +110,17 @@ def warmup(config):
                 f"[G loss: {float(metrics['G_Loss'])}]"
             )
 
-        # ---- validate (reference warmup.py:115-125)
+        # ---- validate (reference warmup.py:115-125); coordinator only
         g_variables = {"params": state.g_params, "batch_stats": state.g_stats}
-        psnr, ssim = validate(
-            make_generator_apply(config, jax.device_get(g_variables)),
-            test_pairs, config,
-        )
-        print(f"[Test: {epoch+1}/{config.EXP.N_EPOCHS}] [PSNR: {psnr}] [SSIM: {ssim}]")
-        writer.add_scalar("Test/PSNR", psnr, epoch + 1)
-        writer.add_scalar("Test/SSIM", ssim, epoch + 1)
+        psnr = ssim = float("nan")
+        if coord:
+            psnr, ssim = validate(
+                make_generator_apply(config, jax.device_get(g_variables)),
+                test_pairs, config,
+            )
+            print(f"[Test: {epoch+1}/{config.EXP.N_EPOCHS}] [PSNR: {psnr}] [SSIM: {ssim}]")
+            writer.add_scalar("Test/PSNR", psnr, epoch + 1)
+            writer.add_scalar("Test/SSIM", ssim, epoch + 1)
 
         # ---- checkpoints (reference warmup.py:128-147); process 0 only
         if coord:
