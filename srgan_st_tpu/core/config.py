@@ -50,6 +50,18 @@ class Config:
         self.EXP = dotdict()
         self.EXP.NAME = "experiment-name"   # experiment name; output dirs are keyed by this
         self.EXP.START_EPOCH = 0            # resume epoch (0 = fresh start)
+        # Restore results/<NAME>/last automatically when present, even with
+        # START_EPOCH=0 — so a crashed run relaunched with the default
+        # config resumes instead of silently restarting (the true epoch is
+        # derived from the checkpoint's step counter; incompatible
+        # checkpoints are skipped with a warning). Set False for strict
+        # reference semantics (reference never auto-loads *_last).
+        self.EXP.AUTO_RESUME = True
+        # Save full train states via orbax instead of npz pytrees. npz is
+        # the default (~0.02 s saves vs orbax's ~1 s + slow first save on
+        # some hosts); orbax is the multi-host option — its saves are
+        # collective across processes (train/checkpoint.py).
+        self.EXP.ORBAX_CHECKPOINTS = False
         self.EXP.N_EPOCHS = 40              # number of training epochs
         self.EXP.LABEL_SMOOTHING = 0.1      # one-sided label smoothing: real label = 1 - s
 
@@ -174,7 +186,11 @@ class Config:
         # default GSPMD path (jit over sharded arrays). Needed for peak
         # multi-chip throughput when Pallas kernels are enabled — GSPMD
         # cannot propagate shardings through custom calls. Numerics match
-        # GSPMD (test_train.py::test_shard_map_step_matches_gspmd).
+        # GSPMD when augmentation/tiled-crop are off
+        # (test_train.py::test_shard_map_step_matches_gspmd); with
+        # DATA.AUGMENT or DATA.TILE_SIZE active the crop/augment keys fold
+        # in lax.axis_index, so draws differ per shard from the GSPMD path
+        # at the same seed (still fully deterministic).
         self.TPU.SHARD_MAP = False
         self.TPU.SHARD_MAP_AXIS = None      # set by the drivers from MESH_AXES
         # "bfloat16" is a validated fast option: converges identically to

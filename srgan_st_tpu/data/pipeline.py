@@ -33,6 +33,26 @@ from srgan_st_tpu.parallel.distributed import process_slice
 _IMG_EXTS = (".png", ".jpg", ".jpeg", ".bmp", ".tif", ".tiff", ".webp")
 
 
+class _DeferredProcessSlice:
+    """Lazily-resolved `process_slice` for a data source.
+
+    Resolving jax.process_count() initializes the jax backend, so the
+    lookup must NOT happen at source construction: a source built before
+    `initialize_distributed()` would latch process_count=1 and the later
+    distributed init would fail. Resolved (and cached) at first batch,
+    by which point the drivers have already initialized the runtime."""
+
+    def __init__(self, global_batch_size: int, process_index=None,
+                 process_count=None):
+        self._args = (global_batch_size, process_index, process_count)
+        self._slice: slice | None = None
+
+    def get(self) -> slice:
+        if self._slice is None:
+            self._slice = process_slice(*self._args)
+        return self._slice
+
+
 def _list_images(directory: str) -> list[str]:
     out = []
     for dirpath, _, filenames in os.walk(directory):
@@ -60,7 +80,8 @@ class TrainPatchSource:
             raise FileNotFoundError(f"no images under {gt_dir}")
         self.batch_size = batch_size  # GLOBAL batch size
         # multi-host: each process decodes only its slice of every batch
-        self._pslice = process_slice(batch_size, process_index, process_count)
+        self._pslice = _DeferredProcessSlice(batch_size, process_index,
+                                             process_count)
         self.patch_size = patch_size
         self.num_workers = max(1, num_workers)
         self.prefetch = prefetch
@@ -110,7 +131,7 @@ class TrainPatchSource:
                     if stop.is_set():
                         return
                     idx = order[b * self.batch_size:(b + 1) * self.batch_size]
-                    idx = idx[self._pslice]  # this process's share
+                    idx = idx[self._pslice.get()]  # this process's share
                     q.put(self._load_batch([self.files[i] for i in idx]))
                 q.put(None)
             except Exception as e:  # propagate decode errors to the consumer
@@ -140,7 +161,8 @@ class SyntheticPatchSource:
         self.patch_size = patch_size
         self.n_batches = n_batches
         self._rng = np.random.default_rng(seed)
-        self._pslice = process_slice(batch_size, process_index, process_count)
+        self._pslice = _DeferredProcessSlice(batch_size, process_index,
+                                             process_count)
 
     def __len__(self) -> int:
         return self.n_batches
@@ -154,7 +176,7 @@ class SyntheticPatchSource:
                 0, 256, (self.batch_size, self.patch_size, self.patch_size, 3),
                 dtype=np.uint8,
             )
-            yield batch[self._pslice]
+            yield batch[self._pslice.get()]
 
 
 class PackedPatchSource:
@@ -164,7 +186,10 @@ class PackedPatchSource:
     The pack is a memory-mapped (N, S, S, 3) uint8 array; a batch read is a
     gather-memcpy with zero image decoding — the host stays ahead of the
     device even at multi-chip global batch sizes, where per-PNG decoding
-    (~0.2 ms each) would bottleneck the input pipeline."""
+    (~0.2 ms each) would bottleneck the input pipeline. Batch gathers run
+    on a background thread (`prefetch` bounds the queue) so page-faulting
+    cold mmap pages overlaps device compute instead of serializing with
+    the dispatch loop."""
 
     def __init__(self, pack_path: str, batch_size: int, seed: int = 0,
                  prefetch: int = 2, process_index: int | None = None,
@@ -177,7 +202,8 @@ class PackedPatchSource:
         self.seed = seed
         self.prefetch = prefetch
         self._epoch_counter = 0
-        self._pslice = process_slice(batch_size, process_index, process_count)
+        self._pslice = _DeferredProcessSlice(batch_size, process_index,
+                                             process_count)
 
     def __len__(self) -> int:
         return self.pack.shape[0] // self.batch_size
@@ -189,11 +215,40 @@ class PackedPatchSource:
         order = np.random.default_rng((self.seed, epoch_idx)).permutation(
             self.pack.shape[0]
         )
-        for b in range(len(self)):
-            # sort the GLOBAL batch for mmap locality, then take this
-            # process's contiguous share (disjoint across processes)
-            idx = np.sort(order[b * self.batch_size:(b + 1) * self.batch_size])
-            yield np.ascontiguousarray(self.pack[idx[self._pslice]])
+        n_batches = len(self)
+        q: queue.Queue = queue.Queue(maxsize=max(1, self.prefetch))
+        stop = threading.Event()
+
+        def producer():
+            try:
+                for b in range(n_batches):
+                    if stop.is_set():
+                        return
+                    # sort the GLOBAL batch for mmap locality, then take
+                    # this process's contiguous share (disjoint across
+                    # processes)
+                    idx = np.sort(
+                        order[b * self.batch_size:(b + 1) * self.batch_size]
+                    )
+                    q.put(np.ascontiguousarray(
+                        self.pack[idx[self._pslice.get()]]
+                    ))
+                q.put(None)
+            except Exception as e:  # propagate IO errors to the consumer
+                q.put(e)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        try:
+            while True:
+                item = q.get()
+                if item is None:
+                    return
+                if isinstance(item, Exception):
+                    raise item
+                yield item
+        finally:
+            stop.set()
 
 
 def make_train_source(config):

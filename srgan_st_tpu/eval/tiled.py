@@ -54,11 +54,15 @@ class TiledApplier:
 
     def __call__(self, lr) -> np.ndarray:
         lr = np.asarray(lr)
-        _, h, w, c = lr.shape
+        b, h, w, c = lr.shape
         t, r, s = self.tile, self.halo, self.upscale
         win = t + 2 * r
         if h < win or w < win:
             return np.asarray(self._jitted(jnp.asarray(lr)))
+        if b != 1:
+            # the tiling path below reads lr[0]; tile each image separately
+            # (same LR shape -> same compiled tile shape, so no recompiles)
+            return np.concatenate([self(lr[i:i + 1]) for i in range(b)], 0)
 
         ys = list(range(0, h, t))
         xs = list(range(0, w, t))

@@ -39,7 +39,6 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 from jax.experimental import pallas as pl
-from jax.experimental.pallas import tpu as pltpu
 
 
 def _kernel(xp_ref, w_ref, out_ref, *, hc, wc, c2, n3):

@@ -29,6 +29,21 @@ VGG19_LAYOUT: list[tuple[str, int]] = (
 )
 
 
+def expected_torch_shapes() -> dict[str, tuple[int, ...]]:
+    """Expected torchvision `features.*` tensor shapes (torch OIHW layout)
+    for VGG19 IMAGENET1K_V1 — the weight-manifest ground truth
+    (weights/vgg19_imagenet.MANIFEST.json is generated from this)."""
+    shapes: dict[str, tuple[int, ...]] = {}
+    cin = 3
+    for idx, kind, cout in _torch_indices():
+        if kind != "conv":
+            continue
+        shapes[f"features.{idx}.weight"] = (cout, cin, 3, 3)
+        shapes[f"features.{idx}.bias"] = (cout,)
+        cin = cout
+    return shapes
+
+
 def _torch_indices() -> list[tuple[int, str, int]]:
     """Yield (torch_sequential_index, kind, channels) for conv/pool entries,
     accounting for the interleaved ReLU modules."""
@@ -78,12 +93,27 @@ def load_vgg19_npz(path: str, taps: tuple[str, ...]) -> dict:
     taps need."""
     deepest = max(int(t.split(".")[1]) for t in taps)
     data = np.load(path)
+    expected = expected_torch_shapes()
     params = {}
     for idx, kind, _ in _torch_indices():
         if kind != "conv" or idx > deepest:
             continue
+        wk, bk = f"features.{idx}.weight", f"features.{idx}.bias"
+        if wk not in data or bk not in data:
+            raise ValueError(
+                f"{path} is missing {wk}/{bk} — not a VGG19 weight archive "
+                f"deep enough for taps {taps}? Regenerate with "
+                f"tools/convert_vgg19.py"
+            )
+        o, i, kh, kw = expected[wk]
+        if data[wk].shape != (kh, kw, i, o):  # converter stores HWIO
+            raise ValueError(
+                f"{path}: {wk} has shape {data[wk].shape}, expected HWIO "
+                f"{(kh, kw, i, o)} (torchvision VGG19 IMAGENET1K_V1 layout; "
+                f"see weights/vgg19_imagenet.MANIFEST.json)"
+            )
         params[f"conv{idx}"] = {
-            "kernel": jnp.asarray(data[f"features.{idx}.weight"]),
-            "bias": jnp.asarray(data[f"features.{idx}.bias"]),
+            "kernel": jnp.asarray(data[wk]),
+            "bias": jnp.asarray(data[bk]),
         }
     return {"params": params}

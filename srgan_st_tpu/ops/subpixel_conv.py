@@ -117,7 +117,15 @@ def conv2d_subpixel_pre_shuffled(
         # activation in VMEM with no spatial tiling — bound its use to
         # training-scale inputs (48x48x256 is ~1.4 MB; whole-image eval on
         # real test sets would blow VMEM) and fall back to XLA elsewhere.
-        fits_vmem = y.shape[1] * y.shape[2] <= 96 * 96
+        # Bound the padded block's actual BYTE count (not spatial area —
+        # a wider generator at the same spatial size scales VMEM with C):
+        # block shape is (H+4, W//2+2, 2C) bf16 (kernels/coarse_conv.py).
+        # Budget 6 MiB ~= the 96x96xC=256 point this gate was calibrated
+        # at (5.1 MiB), validated on-TPU in round 2.
+        pad_block_bytes = (
+            (y.shape[1] + 4) * (y.shape[2] // 2 + 2) * 2 * y.shape[-1] * 2
+        )
+        fits_vmem = pad_block_bytes <= 6 * 2**20
         if (factor == 2 and jax.default_backend() == "tpu" and fits_vmem
                 and y.shape[1] % 2 == 0 and y.shape[2] % 2 == 0):
             return _pre_shuffled_f2_pallas(

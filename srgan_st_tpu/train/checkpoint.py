@@ -145,8 +145,19 @@ class CheckpointPolicy:
             self.best_ssim = float(meta.get("best_ssim", 0.0))
         # npz pytree saves by default: ~0.02 s vs orbax's ~1 s/epoch (and a
         # ~2.5 min first save) for single-host state; orbax opt-in for
-        # sharded multi-host checkpoints
+        # multi-host checkpoints (config.EXP.ORBAX_CHECKPOINTS)
         self._ckpt = ocp.StandardCheckpointer() if (use_orbax and _HAS_ORBAX) else None
+
+    @property
+    def collective(self) -> bool:
+        """True when `save_epoch` must be invoked by EVERY process: orbax
+        saves are collective in a multi-process runtime (the save barriers
+        all processes via sync_global_processes, even though only the
+        primary host writes replicated data). The npz path is plain
+        coordinator-only file IO."""
+        if self._ckpt is None:
+            return False
+        return jax.process_count() > 1
 
     def _save(self, name: str, state: Any) -> None:
         path = os.path.join(self.results_dir, name)
@@ -157,17 +168,32 @@ class CheckpointPolicy:
             save_pytree_npz(path + ".state.npz", state)
 
     def save_epoch(self, state: Any, epoch: int, psnr: float, ssim: float) -> bool:
-        """Apply the triple policy for a finished epoch; returns is_best."""
+        """Apply the triple policy for a finished epoch; returns is_best.
+
+        Multi-process with orbax: call from ALL processes (see
+        `collective`). Eval runs coordinator-only (non-coordinators pass
+        NaN), so the metrics are broadcast from process 0 first — every
+        process then takes the same is-best branch, keeping the collective
+        `best` save consistent."""
+        if self.collective:
+            from jax.experimental import multihost_utils
+
+            psnr, ssim = (float(v) for v in multihost_utils.broadcast_one_to_all(
+                np.asarray([psnr, ssim], np.float32)
+            ))
         self._save("last", state)
         is_best = self.best_psnr < psnr and self.best_ssim < ssim
         if is_best:
             self._save("best", state)
             self.best_psnr = psnr
             self.best_ssim = ssim
-            import json
+            if jax.process_index() == 0:
+                import json
 
-            with open(self._meta_path, "w") as f:
-                json.dump({"best_psnr": psnr, "best_ssim": ssim, "epoch": epoch}, f)
+                with open(self._meta_path, "w") as f:
+                    json.dump(
+                        {"best_psnr": psnr, "best_ssim": ssim, "epoch": epoch}, f
+                    )
         if 0 < epoch and epoch % self.interval == 0:
             self._save(f"epoch{epoch}", state)
         return is_best

@@ -96,14 +96,15 @@ def train(config):
 
     writer = ExperimentWriter(config)
     results_dir = f"results/{config.EXP.NAME}"
-    policy = CheckpointPolicy(results_dir, config.G_CHECKPOINT_INTERVAL)
+    policy = CheckpointPolicy(results_dir, config.G_CHECKPOINT_INTERVAL,
+                              use_orbax=config.EXP.ORBAX_CHECKPOINTS)
     test_pairs = make_test_pairs(config)
 
     # Optional auto-resume (improvement over the reference, which restarts
     # the epoch counter but never reloads *_last; SURVEY.md §5). The true
     # epoch comes from the checkpoint's step counter, not START_EPOCH.
     start_epoch = config.EXP.START_EPOCH
-    if start_epoch > 0:
+    if start_epoch > 0 or config.EXP.AUTO_RESUME:
         restored = policy.restore_latest(state)
         if restored is not None:
             state = jax.device_put(restored, replicated(mesh))
@@ -154,14 +155,20 @@ def train(config):
             writer.add_scalar("Test/PSNR", psnr, epoch + 1)
             writer.add_scalar("Test/SSIM", ssim, epoch + 1)
 
-        # ---- checkpoints (reference train.py:207-226); process 0 only
+        # ---- checkpoints (reference train.py:207-226); npz writes are
+        # process-0-only, but orbax state saves are collective (all
+        # processes must call save_epoch — policy.collective)
         if coord:
             d_variables = jax.device_get(
                 {"params": state.d_params, "batch_stats": state.d_stats}
             )
             save_variables_npz(os.path.join(results_dir, "g_last.npz"), g_variables)
             save_variables_npz(os.path.join(results_dir, "d_last.npz"), d_variables)
-            is_best = policy.save_epoch(state, epoch, psnr, ssim)
+        is_best = (
+            policy.save_epoch(state, epoch, psnr, ssim)
+            if (coord or policy.collective) else False
+        )
+        if coord:
             if is_best:
                 save_variables_npz(os.path.join(results_dir, "g_best.npz"), g_variables)
                 save_variables_npz(os.path.join(results_dir, "d_best.npz"), d_variables)

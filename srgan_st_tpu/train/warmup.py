@@ -67,7 +67,8 @@ def warmup(config):
 
     writer = ExperimentWriter(config)
     results_dir = f"results/{config.EXP.NAME}"
-    policy = CheckpointPolicy(results_dir, config.G_CHECKPOINT_INTERVAL)
+    policy = CheckpointPolicy(results_dir, config.G_CHECKPOINT_INTERVAL,
+                              use_orbax=config.EXP.ORBAX_CHECKPOINTS)
     test_pairs = make_test_pairs(config)
 
     # Auto-resume from the last full state when restarting mid-run
@@ -75,7 +76,7 @@ def warmup(config):
     # never reloads *_last; SURVEY.md §5). The true epoch comes from the
     # checkpoint's own step counter, not the user-supplied START_EPOCH.
     start_epoch = config.EXP.START_EPOCH
-    if start_epoch > 0:
+    if start_epoch > 0 or config.EXP.AUTO_RESUME:
         restored = policy.restore_latest(state)
         if restored is not None:
             state = jax.device_put(restored, replicated(mesh))
@@ -122,10 +123,16 @@ def warmup(config):
             writer.add_scalar("Test/PSNR", psnr, epoch + 1)
             writer.add_scalar("Test/SSIM", ssim, epoch + 1)
 
-        # ---- checkpoints (reference warmup.py:128-147); process 0 only
+        # ---- checkpoints (reference warmup.py:128-147); npz writes are
+        # process-0-only, but orbax state saves are collective (all
+        # processes must call save_epoch — policy.collective)
         if coord:
             save_variables_npz(os.path.join(results_dir, "g_last.npz"), g_variables)
-            is_best = policy.save_epoch(state, epoch, psnr, ssim)
+        is_best = (
+            policy.save_epoch(state, epoch, psnr, ssim)
+            if (coord or policy.collective) else False
+        )
+        if coord:
             if is_best:
                 save_variables_npz(os.path.join(results_dir, "g_best.npz"), g_variables)
             if 0 < epoch and epoch % config.G_CHECKPOINT_INTERVAL == 0:

@@ -156,7 +156,34 @@ _CHILD = textwrap.dedent(
     sm_loss = float(sm_metrics["G_Loss"])
     assert np.isfinite(sm_loss)
 
-    print(f"COORD={int(is_coordinator())} LOSS={loss:.9e} SMLOSS={sm_loss:.9e}",
+    # orbax checkpoint under multi-process: orbax saves are COLLECTIVE, so
+    # every process calls save_epoch (policy.collective); eval metrics are
+    # coordinator-only (NaN elsewhere) and get broadcast inside save_epoch
+    # so all processes take the same is-best branch. Restore: every process
+    # reads the shared-filesystem checkpoint.
+    import os
+    from srgan_st_tpu.train.checkpoint import CheckpointPolicy
+
+    ckpt_dir = os.environ["SRGAN_ST_TEST_CKPT_DIR"]
+    policy = CheckpointPolicy(ckpt_dir, interval=100, use_orbax=True)
+    assert policy._ckpt is not None and policy.collective
+    psnr, ssim = (20.0, 0.5) if is_coordinator() else (float("nan"),) * 2
+    is_best = policy.save_epoch(state, 0, psnr, ssim)
+    assert is_best, "broadcast metrics must make every process see is_best"
+    fresh = jax.device_put(
+        create_generator_state(config, g_model, g_tx, rng=jax.random.key(3)),
+        replicated(mesh),
+    )
+    got = policy.restore_latest(fresh)
+    assert got is not None
+    np.testing.assert_array_equal(  # restored == the state that was saved
+        np.asarray(got.g_params["conv1"]["kernel"]),
+        np.asarray(state.g_params["conv1"]["kernel"]),
+    )
+    ck = float(np.asarray(got.g_params["conv1"]["kernel"]).ravel()[0])
+
+    print(f"COORD={int(is_coordinator())} LOSS={loss:.9e} SMLOSS={sm_loss:.9e}"
+          f" CKPT={ck:.9e}",
           flush=True)
     """
 )
@@ -179,6 +206,7 @@ def test_two_process_cpu_mesh_warmup_step(tmp_path):
     for pid in range(2):
         env = dict(os.environ)
         env["SRGAN_ST_COORDINATOR"] = f"127.0.0.1:{port}"
+        env["SRGAN_ST_TEST_CKPT_DIR"] = str(tmp_path / "ckpt")
         env["SRGAN_ST_NUM_PROCESSES"] = "2"
         env["SRGAN_ST_PROCESS_ID"] = str(pid)
         env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
@@ -198,12 +226,14 @@ def test_two_process_cpu_mesh_warmup_step(tmp_path):
         assert p.returncode == 0, f"rc={p.returncode}\n{out}\n{err}"
         outs.append(out)
 
-    losses, sm_losses = {}, set()
+    losses, sm_losses, ckpt_leaves = {}, set(), set()
     for out in outs:
         line = [ln for ln in out.splitlines() if ln.startswith("COORD=")][-1]
-        coord, loss, sm = line.split()
+        coord, loss, sm, ck = line.split()
         losses[coord] = loss.split("=")[1]
         sm_losses.add(sm.split("=")[1])
+        ckpt_leaves.add(ck.split("=")[1])
     assert set(losses) == {"COORD=0", "COORD=1"}  # exactly one coordinator
     assert len(set(losses.values())) == 1, losses  # identical reduced loss
     assert len(sm_losses) == 1, sm_losses  # shard_map path agrees across hosts
+    assert len(ckpt_leaves) == 1, ckpt_leaves  # both restored the same orbax ckpt

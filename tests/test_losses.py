@@ -198,3 +198,57 @@ class TestVGGConverter:
             np.asarray(feats["features.17"]).transpose(0, 3, 1, 2),
             t.numpy(), rtol=1e-2, atol=10,  # values ~1e6 after 8 raw convs
         )
+
+    def test_manifest_matches_architecture(self):
+        """The checked-in manifest must equal the architecture-derived
+        shapes (it is generated from expected_torch_shapes())."""
+        import json
+        import sys
+
+        sys.path.insert(0, "tools")
+        from convert_vgg19 import DEFAULT_MANIFEST
+
+        from srgan_st_tpu.models.vgg import expected_torch_shapes
+
+        with open(DEFAULT_MANIFEST) as f:
+            manifest = json.load(f)
+        expected = {k: list(v) for k, v in expected_torch_shapes().items()}
+        assert manifest["tensors_oihw"] == expected
+        assert manifest["num_features_tensors"] == 32
+        assert manifest["pth_sha256_prefix"] == "dcbb9e9d"  # vgg19-dcbb9e9d.pth
+
+    def test_manifest_verification(self, tmp_path):
+        """A full fabricated IMAGENET1K_V1-shaped state dict passes
+        verification (sans hash); wrong shapes error informatively."""
+        import sys
+
+        import torch
+
+        sys.path.insert(0, "tools")
+        from convert_vgg19 import DEFAULT_MANIFEST, convert, verify_against_manifest
+
+        from srgan_st_tpu.models.vgg import expected_torch_shapes
+
+        state = {
+            k: torch.zeros(*shape)
+            for k, shape in expected_torch_shapes().items()
+        }
+        verify_against_manifest(state, DEFAULT_MANIFEST)  # no error
+
+        pth = str(tmp_path / "fab.pth")
+        torch.save(state, pth)
+        convert(pth, str(tmp_path / "fab.npz"), manifest=DEFAULT_MANIFEST,
+                check_hash=False)  # fabricated bytes: hash is meaningless
+
+        # the real-artifact hash gate must reject fabricated bytes
+        with pytest.raises(ValueError, match="sha256"):
+            convert(pth, str(tmp_path / "fab2.npz"), manifest=DEFAULT_MANIFEST,
+                    check_hash=True)
+
+        bad = dict(state)
+        bad["features.0.weight"] = torch.zeros(64, 3, 5, 5)
+        del bad["features.34.bias"]
+        with pytest.raises(ValueError) as e:
+            verify_against_manifest(bad, DEFAULT_MANIFEST)
+        assert "features.0.weight" in str(e.value)
+        assert "missing tensor features.34.bias" in str(e.value)
