@@ -2,12 +2,77 @@
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
+from jax import lax
 import flax.linen as nn
 
 # torch's nn.init.kaiming_normal_ default: fan_in, gain=sqrt(2)
 # (reference model.py:130-136).
 kaiming_normal = nn.initializers.variance_scaling(2.0, "fan_in", "normal")
+
+
+class BatchNorm(nn.Module):
+    """BatchNorm with torch running-stat semantics.
+
+    Drop-in for flax nn.BatchNorm (same params {scale, bias} /
+    batch_stats {mean, var} variable tree, same call convention) with one
+    deliberate difference: the running-variance EMA accumulates the
+    UNBIASED batch variance (var * n/(n-1)), matching torch BatchNorm2d.
+    flax's EMA uses the biased variance; the trajectory-parity harness
+    (tools/crosscheck_training_vs_reference.py) showed the conventions
+    diverging measurably over training at the discriminator's small
+    spatial sizes (n = B*6*6). Train-mode normalization uses the biased
+    variance on both frameworks — only the EMA differs.
+
+    `momentum` follows the flax convention (EMA keep-rate; torch
+    momentum 0.1 == flax momentum 0.9). Cross-shard stat reduction via
+    `axis_name` (lax.pmean) as in flax, with n scaled by the axis size so
+    the unbiased correction reflects the GLOBAL element count."""
+
+    use_running_average: bool = False
+    momentum: float = 0.9
+    epsilon: float = 1e-5
+    dtype: jnp.dtype | None = None
+    axis_name: str | None = None
+
+    @nn.compact
+    def __call__(self, x):
+        c = x.shape[-1]
+        ra_mean = self.variable(
+            "batch_stats", "mean", lambda: jnp.zeros((c,), jnp.float32)
+        )
+        ra_var = self.variable(
+            "batch_stats", "var", lambda: jnp.ones((c,), jnp.float32)
+        )
+        scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+
+        if self.use_running_average:
+            mean, var = ra_mean.value, ra_var.value
+        else:
+            xf = x.astype(jnp.float32)
+            reduce_axes = tuple(range(x.ndim - 1))
+            mean = jnp.mean(xf, reduce_axes)
+            mean2 = jnp.mean(jnp.square(xf), reduce_axes)
+            n = x.size // c
+            if self.axis_name is not None:
+                mean, mean2 = lax.pmean((mean, mean2), self.axis_name)
+                n = n * lax.axis_size(self.axis_name)
+            var = jnp.maximum(mean2 - jnp.square(mean), 0.0)
+            if not self.is_initializing():
+                m = self.momentum
+                ra_mean.value = m * ra_mean.value + (1.0 - m) * mean
+                # torch stores the UNBIASED batch variance in the EMA
+                ra_var.value = m * ra_var.value + (1.0 - m) * var * (
+                    n / max(n - 1, 1)
+                )
+
+        dtype = self.dtype or x.dtype
+        y = (x.astype(dtype) - mean.astype(dtype)) * lax.rsqrt(
+            var.astype(dtype) + jnp.asarray(self.epsilon, dtype)
+        )
+        return y * scale.astype(dtype) + bias.astype(dtype)
 
 
 class PReLU(nn.Module):

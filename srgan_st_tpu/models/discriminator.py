@@ -18,7 +18,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 import flax.linen as nn
 
-from srgan_st_tpu.models.common import kaiming_normal
+from srgan_st_tpu.models.common import BatchNorm, kaiming_normal
 
 
 class Discriminator(nn.Module):
@@ -57,7 +57,7 @@ class Discriminator(nn.Module):
             )(z)
 
         def bn(z, name):
-            return nn.BatchNorm(
+            return BatchNorm(
                 use_running_average=not train, momentum=0.9, epsilon=1e-5,
                 dtype=self.dtype, axis_name=self.axis_name if train else None,
                 name=name,

@@ -28,7 +28,9 @@ import math
 import jax.numpy as jnp
 import flax.linen as nn
 
-from srgan_st_tpu.models.common import PReLU, TapConv, kaiming_normal, pixel_shuffle
+from srgan_st_tpu.models.common import (
+    BatchNorm, PReLU, TapConv, kaiming_normal, pixel_shuffle,
+)
 
 
 class ResidualConvBlock(nn.Module):
@@ -43,7 +45,7 @@ class ResidualConvBlock(nn.Module):
             self.channels, (3, 3), padding=1, use_bias=False,
             kernel_init=kaiming_normal, dtype=self.dtype, name=name,
         )
-        bn = lambda name: nn.BatchNorm(  # noqa: E731
+        bn = lambda name: BatchNorm(  # noqa: E731
             use_running_average=not train, momentum=0.9, epsilon=1e-5,
             dtype=self.dtype, axis_name=self.axis_name if train else None, name=name,
         )
@@ -142,7 +144,7 @@ class Generator(nn.Module):
             self.channels, (3, 3), padding=1, use_bias=False,
             kernel_init=kaiming_normal, dtype=self.dtype, name="conv2",
         )(x)
-        x = nn.BatchNorm(
+        x = BatchNorm(
             use_running_average=not train, momentum=0.9, epsilon=1e-5,
             dtype=self.dtype, axis_name=self.axis_name if train else None,
             name="bn2",

@@ -85,7 +85,18 @@ def make_g_optimizer(config, steps_per_epoch: int, milestones: bool = True):
 
 
 def make_d_optimizer(config, steps_per_epoch: int):
-    ms = [m * steps_per_epoch for m in config.SCHEDULER.MILESTONES]
+    """D's Adam + MultiStepLR. The schedule count in optax counts THIS
+    optimizer's updates — i.e. D updates, which happen only once per
+    D_UPDATE_INTERVAL batches (train.py:149) — so epoch milestones must be
+    converted to D-UPDATE counts, not global steps: ceil(spe/interval)
+    D updates happen per epoch (batch_num resets each epoch, and batch 0
+    always updates). Converting to global steps (the G formula) would fire
+    D's LR decay ~interval-times too late — a real divergence the
+    trajectory-parity harness caught against the executed reference
+    (reference train.py:79-88,186-188: MultiStepLR stepped per epoch,
+    decaying both optimizers at the same wall-clock epoch)."""
+    d_updates_per_epoch = -(-steps_per_epoch // config.SOLVER.D_UPDATE_INTERVAL)
+    ms = [m * d_updates_per_epoch for m in config.SCHEDULER.MILESTONES]
     return make_optimizer(
         config.SOLVER.D_BASE_LR, config.SOLVER.D_BETA1, config.SOLVER.D_BETA2,
         config.SOLVER.D_EPS, config.SOLVER.D_WEIGHT_DECAY, ms, config.SCHEDULER.GAMMA,
