@@ -103,6 +103,12 @@ class Generator(nn.Module):
     # multi-chip mesh would all-gather custom-call operands), else the
     # plain XLA coarse conv. "pallas"/1 force a path.
     conv3_inner: int | str | None = None
+    # trunk execution: None=auto (fused Pallas kernel when train-mode,
+    # bf16, single-device, no axis_name — see kernels/fused_trunk.py;
+    # unfused flax blocks elsewhere), "unfused"/"fused"/"fused_interpret"
+    # force a path. The parameter/batch-stat TREE is identical either way
+    # (the fused path reads the per-RCB subtrees and stacks them).
+    trunk_mode: str | None = None
 
     @classmethod
     def from_config(cls, config, dtype=None, axis_name=None):
@@ -117,6 +123,73 @@ class Generator(nn.Module):
             remat=config.TPU.REMAT,
         )
 
+    def _trunk_mode(self, train: bool) -> str:
+        """Resolve the trunk execution path (see `trunk_mode`).
+
+        Auto currently resolves to UNFUSED everywhere: the fused Pallas
+        forward (kernels/fused_trunk.py) is measured SLOWER than XLA's
+        unrolled trunk on v5e (983 vs 353 us/step forward — Mosaic lowers
+        the batched (B, H, W, C) x (C, C) dots as per-row matmuls), and
+        the XLA path's real cost center is the backward (~1.0 ms/step of
+        dgrad/wgrad/BN-bwd). The kernel stays as the numerics-validated
+        basis for a future merged-lane fwd+bwd pair; opt in with
+        trunk_mode="fused"."""
+        if self.trunk_mode is not None:
+            return self.trunk_mode
+        return "unfused"
+
+    def _trunk(self, x, train: bool):
+        """The 16-RCB trunk: fused Pallas kernel or per-block flax modules,
+        with an IDENTICAL variable tree (the fused path reads/writes the
+        per-RCB subtrees directly via the module scope)."""
+        # eval always runs unfused: the kernel has no running-average mode
+        mode = self._trunk_mode(train) if train else "unfused"
+        rcb0 = self.scope.get_variable("params", "rcb0")
+        if mode == "unfused" or self.is_initializing() or rcb0 is None:
+            block = ResidualConvBlock
+            if self.remat:
+                block = nn.remat(ResidualConvBlock, static_argnums=(2,))
+            for i in range(self.num_rcb):
+                x = block(
+                    self.channels, dtype=self.dtype, axis_name=self.axis_name,
+                    name=f"rcb{i}",
+                )(x, train)
+            return x
+
+        from srgan_st_tpu.kernels.fused_trunk import (
+            fused_trunk,
+            stack_rcb_params,
+        )
+
+        rcb_params = [
+            self.scope.get_variable("params", f"rcb{i}")
+            for i in range(self.num_rcb)
+        ]
+        operands = stack_rcb_params(rcb_params)
+        y, stats = fused_trunk(
+            x, *operands, 1e-5, mode == "fused_interpret"
+        )
+        # torch-faithful running-stat EMA (common.BatchNorm): unbiased
+        # batch variance; stats (N, 4, C) = [m1, v1, m2, v2] per block
+        if train and self.is_mutable_collection("batch_stats"):
+            nelem = x.size // x.shape[-1]
+            corr = nelem / max(nelem - 1, 1)
+            m = 0.9
+            for i in range(self.num_rcb):
+                old = self.scope.get_variable("batch_stats", f"rcb{i}")
+                new = {
+                    "bn1": {
+                        "mean": m * old["bn1"]["mean"] + 0.1 * stats[i, 0],
+                        "var": m * old["bn1"]["var"] + 0.1 * stats[i, 1] * corr,
+                    },
+                    "bn2": {
+                        "mean": m * old["bn2"]["mean"] + 0.1 * stats[i, 2],
+                        "var": m * old["bn2"]["var"] + 0.1 * stats[i, 3] * corr,
+                    },
+                }
+                self.scope.put_variable("batch_stats", f"rcb{i}", new)
+        return y
+
     @nn.compact
     def __call__(self, x, train: bool = True):
         x = x.astype(self.dtype)
@@ -129,15 +202,7 @@ class Generator(nn.Module):
         conv1 = PReLU(name="prelu1")(x)
 
         # High-frequency trunk (model.py:106-109)
-        block = ResidualConvBlock
-        if self.remat:
-            block = nn.remat(ResidualConvBlock, static_argnums=(2,))
-        x = conv1
-        for i in range(self.num_rcb):
-            x = block(
-                self.channels, dtype=self.dtype, axis_name=self.axis_name,
-                name=f"rcb{i}",
-            )(x, train)
+        x = self._trunk(conv1, train)
 
         # Linear fusion layer + global skip (model.py:112-115, 143-146)
         x = nn.Conv(
