@@ -51,6 +51,7 @@ def _build_content_vgg(config, spec):
         vgg_apply=vgg_apply,
         layer_weights=layer_weights,
         criterion=spec.get("criterion", "mse"),
+        remat=spec.get("remat", False),
     )
 
 
