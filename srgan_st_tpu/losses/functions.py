@@ -122,18 +122,20 @@ def _gram_patches(x, ksize):
     Computed WITHOUT patch extraction: G[c, d] per patch is just the
     sum of x_c * x_d over the patch window, so channel-pair products +
     non-overlapping window sums give the identical matrices without
-    `extract_patch_grids`' 6-D transposes (same fp math, 9-term window
-    sums reassociated; measured throughput-neutral on TPU — XLA already
-    handled the patch path well — kept for the simpler graph)."""
+    `extract_patch_grids`' 6-D transposes. The window sums run as two
+    matmuls against 0/1 pooling matrices (separable over H and W) — on
+    TPU that is MXU work with f32 accumulation instead of strided bf16
+    `reduce` ops over awkward 6-D layouts, and the backward is a pair of
+    matmuls too."""
     b, h, w, c = x.shape
     if h % ksize or w % ksize:
         raise ValueError(f"image size {h}x{w} not divisible by ksize={ksize}")
     prod = (x[..., :, None] * x[..., None, :]).reshape(b, h, w, c * c)
-    # non-overlapping window sum as reshape+reduce (differentiable; XLA
-    # lowers it without transpose copies)
-    pooled = prod.reshape(
-        b, h // ksize, ksize, w // ksize, ksize, c * c
-    ).sum((2, 4))
+    ph = (jnp.arange(h)[:, None] // ksize
+          == jnp.arange(h // ksize)[None, :]).astype(x.dtype)
+    pw = (jnp.arange(w)[:, None] // ksize
+          == jnp.arange(w // ksize)[None, :]).astype(x.dtype)
+    pooled = jnp.einsum("bhwc,hp,wq->bpqc", prod, ph, pw)
     n = (h // ksize) * (w // ksize)
     return pooled.reshape(b, n, c * c) / (c * ksize * ksize)
 

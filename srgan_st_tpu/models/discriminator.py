@@ -19,6 +19,7 @@ import jax.numpy as jnp
 import flax.linen as nn
 
 from srgan_st_tpu.models.common import BatchNorm, kaiming_normal
+from srgan_st_tpu.ops.fastgrad import StemConv3x3
 
 
 class Discriminator(nn.Module):
@@ -63,8 +64,14 @@ class Discriminator(nn.Module):
                 name=name,
             )(z)
 
-        # features (reference model.py:30-59): (3)x96x96 -> (512)x6x6
-        x = lrelu(conv(x, c, 1, True, "conv0"))
+        # features (reference model.py:30-59): (3)x96x96 -> (512)x6x6.
+        # The 3->64 stem uses the packed-GEMM image-gradient backward
+        # (ops/fastgrad.py): its dgrad lands on `sr` in every G step's
+        # adversarial term; params/forward identical to nn.Conv.
+        x = lrelu(StemConv3x3(
+            c, dtype=self.dtype, kernel_init=kaiming_normal,
+            bias_init=nn.initializers.zeros, name="conv0",
+        )(x))
         if "features.1" in taps:
             tap_out["features.1"] = x
         specs = [  # (features, stride)

@@ -18,6 +18,8 @@ import numpy as np
 import jax.numpy as jnp
 import flax.linen as nn
 
+from srgan_st_tpu.ops.fastgrad import StemConv3x3
+
 # torchvision vgg19.features layout: Sequential index -> (kind, out_channels)
 # conv indices per block; "M" = 2x2/2 max-pool. ReLU sits after every conv.
 VGG19_LAYOUT: list[tuple[str, int]] = (
@@ -71,7 +73,14 @@ class VGG19Features(nn.Module):
         outputs = {}
         for idx, kind, ch in _torch_indices():
             if kind == "conv":
-                x = nn.Conv(ch, (3, 3), padding=1, dtype=self.dtype, name=f"conv{idx}")(x)
+                if idx == 0:
+                    # 3->64 stem: same params/forward as nn.Conv, but the
+                    # image-space dgrad (the costliest op of the perceptual
+                    # loss backward) runs as a packed GEMM (ops/fastgrad.py)
+                    x = StemConv3x3(ch, dtype=self.dtype, name=f"conv{idx}")(x)
+                else:
+                    x = nn.Conv(ch, (3, 3), padding=1, dtype=self.dtype,
+                                name=f"conv{idx}")(x)
                 x = nn.relu(x)
                 relu_idx = idx + 1
                 if relu_idx in wanted:

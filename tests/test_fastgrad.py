@@ -1,0 +1,58 @@
+"""ops/fastgrad.py: hand-scheduled backwards must match autodiff exactly
+in the forward and to fp tolerance (pure reassociation) in the backward."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from srgan_st_tpu.ops.fastgrad import StemConv3x3, _conv3x3_same, stem_conv3x3
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(11)
+
+
+class TestStemConv:
+    def test_forward_exact(self, rng):
+        x = jnp.asarray(rng.standard_normal((2, 12, 12, 3), np.float32))
+        w = jnp.asarray(rng.standard_normal((3, 3, 3, 16), np.float32))
+        b = jnp.asarray(rng.standard_normal((16,), np.float32))
+        np.testing.assert_array_equal(
+            np.asarray(stem_conv3x3(x, w, b)), np.asarray(_conv3x3_same(x, w, b))
+        )
+
+    def test_grads_match_autodiff(self, rng):
+        """dx via the packed GEMM + overlap-add == XLA's transposed-conv dx
+        (f32 reassociation only); dw/db exact (same lowering)."""
+        x = jnp.asarray(rng.standard_normal((2, 10, 14, 3), np.float32))
+        w = jnp.asarray(rng.standard_normal((3, 3, 3, 8), np.float32))
+        b = jnp.asarray(rng.standard_normal((8,), np.float32))
+        ct = jnp.asarray(rng.standard_normal((2, 10, 14, 8), np.float32))
+
+        def loss(fn):
+            return lambda x_, w_, b_: (fn(x_, w_, b_) * ct).sum()
+
+        gx, gw, gb = jax.grad(loss(stem_conv3x3), (0, 1, 2))(x, w, b)
+        rx, rw, rb = jax.grad(loss(_conv3x3_same), (0, 1, 2))(x, w, b)
+        np.testing.assert_allclose(np.asarray(gx), np.asarray(rx), rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(gw), np.asarray(rw), rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(gb), np.asarray(rb), rtol=1e-5, atol=1e-5)
+
+    def test_module_params_match_nn_conv(self, rng):
+        """Same name/init/shape param tree as the nn.Conv it replaces, and
+        the same forward (CPU path) — checkpoints stay interchangeable."""
+        x = jnp.asarray(rng.standard_normal((1, 8, 8, 3), np.float32))
+        stem = StemConv3x3(16, name="conv0")
+        ref = nn.Conv(16, (3, 3), padding=1, name="conv0")
+        v1 = stem.init(jax.random.key(0), x)
+        v2 = ref.init(jax.random.key(0), x)
+        assert jax.tree.map(jnp.shape, v1) == jax.tree.map(jnp.shape, v2)
+        for leaf1, leaf2 in zip(jax.tree.leaves(v1), jax.tree.leaves(v2)):
+            np.testing.assert_array_equal(np.asarray(leaf1), np.asarray(leaf2))
+        np.testing.assert_allclose(
+            np.asarray(stem.apply(v1, x)), np.asarray(ref.apply(v2, x)),
+            rtol=1e-6, atol=1e-6,
+        )
