@@ -201,7 +201,7 @@ def measure_e2e() -> dict:
         make_g_optimizer,
         make_gan_chunk_step,
     )
-    from srgan_st_tpu.train.utils import chunked_batches
+    from srgan_st_tpu.train.utils import iter_chunks
 
     config = _make_config("headline")
     dtype = os.environ.get("BENCH_DTYPE", "bfloat16")
@@ -231,11 +231,12 @@ def measure_e2e() -> dict:
     )
     source = make_train_source(config)
     k = config.SOLVER.D_UPDATE_INTERVAL
+    put = lambda c: shard_chunk(c, mesh)  # noqa: E731
 
     # compile on epoch 0's first chunk
-    warm = next(chunked_batches(source.epoch(0), k))
+    warm = next(iter_chunks(source, 0, k, put))
     for _ in range(WARMUP_ITERS):
-        state, _ = chunk_fn(state, shard_chunk(warm, mesh), True)
+        state, _ = chunk_fn(state, warm, True)
     jax.block_until_ready(state)
 
     epochs = 2
@@ -243,9 +244,9 @@ def measure_e2e() -> dict:
     start = time.perf_counter()
     for epoch in range(1, 1 + epochs):
         batch_num = 0
-        for chunk in chunked_batches(source.epoch(epoch), k):
+        for chunk in iter_chunks(source, epoch, k, put):
             do_d = batch_num % k == 0
-            state, _ = chunk_fn(state, shard_chunk(chunk, mesh), do_d)
+            state, _ = chunk_fn(state, chunk, do_d)
             batch_num += len(chunk)
             patches += chunk.shape[0] * chunk.shape[1]
     jax.block_until_ready(state)

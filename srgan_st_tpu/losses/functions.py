@@ -200,20 +200,28 @@ def st_loss(sr, gt, sigma=0.5, rho=2.0, normalize=True, dtype=None):
 
 
 # ---------------------------------------------------------------------------
-def content_loss_vgg(sr, gt, vgg_apply, layer_weights, criterion="mse",
-                     remat=False):
+def content_loss_vgg(sr, gt, vgg_apply=None, layer_weights=None,
+                     criterion="mse", remat=False, vgg_pair=None):
     """VGG19 perceptual content loss (reference loss.py:11-74, GramGAN
     recipe): ImageNet-normalize both images, compare tap activations.
 
-    `remat` recomputes the sr-branch VGG forward during backward instead
-    of saving per-layer activations (trades one extra forward for the
-    activation stores/loads XLA otherwise schedules)."""
+    `vgg_pair` (models/vgg.py make_vgg19_frozen_pair, the TPU default)
+    runs BOTH branches in one batch-concatenated forward with a
+    hand-written sr-only backward; `vgg_apply` is the plain two-forward
+    autodiff path. `remat` (two-forward path only) recomputes the
+    sr-branch forward during backward instead of saving activations
+    (measured slower on v5e — kept for memory-bound configurations)."""
     crit = _elementwise_criterion(criterion)
-    sr_branch = lambda z: vgg_apply(imagenet_normalize(z))  # noqa: E731
-    if remat:
-        sr_branch = jax.checkpoint(sr_branch)
-    sr_feats = sr_branch(sr)
-    gt_feats = vgg_apply(imagenet_normalize(gt))
+    if vgg_pair is not None:
+        sr_feats, gt_feats = vgg_pair(
+            imagenet_normalize(sr), imagenet_normalize(gt)
+        )
+    else:
+        sr_branch = lambda z: vgg_apply(imagenet_normalize(z))  # noqa: E731
+        if remat:
+            sr_branch = jax.checkpoint(sr_branch)
+        sr_feats = sr_branch(sr)
+        gt_feats = vgg_apply(imagenet_normalize(gt))
     loss = 0.0
     for name, weight in layer_weights.items():
         loss = loss + weight * crit(sr_feats[name], gt_feats[name])

@@ -45,6 +45,24 @@ def _build_content_vgg(config, spec):
         import jax.numpy as jnp
 
         variables = model.init(jax.random.key(0), jnp.zeros((1, 96, 96, 3)))
+    # TPU default: one batch-concatenated forward for both branches with a
+    # hand-written sr-only backward (the VGG weights are frozen and gt is
+    # data — see make_vgg19_frozen_pair). spec["pair"] overrides.
+    pair = spec.get("pair")
+    if pair is None:
+        pair = jax.default_backend() == "tpu" and not spec.get("remat", False)
+    if pair:
+        from srgan_st_tpu.models.vgg import make_vgg19_frozen_pair
+
+        pair_fn = make_vgg19_frozen_pair(
+            variables, taps, jnp.dtype(config.TPU.COMPUTE_DTYPE)
+        )
+        return functools.partial(
+            F.content_loss_vgg,
+            vgg_pair=pair_fn,
+            layer_weights=layer_weights,
+            criterion=spec.get("criterion", "mse"),
+        )
     vgg_apply = lambda x: model.apply(variables, x)  # noqa: E731
     return functools.partial(
         F.content_loss_vgg,

@@ -96,6 +96,137 @@ class VGG19Features(nn.Module):
         return outputs
 
 
+def make_vgg19_frozen_pair(variables: dict, taps: tuple[str, ...], dtype):
+    """Build `pair(sr_n, gt_n) -> (feats_sr, feats_gt)` — ONE forward over
+    the batch-concatenated pair with a hand-written backward that traverses
+    only the sr half.
+
+    Why: the perceptual loss runs VGG three times per step (sr fwd, gt fwd,
+    sr bwd). The gt branch carries no gradient (gt is data; the VGG weights
+    are frozen by construction, reference loss.py:50-52 `requires_grad_(
+    False)`), yet autodiff of two separate batch-B forwards leaves the gt
+    forward's ops at half the batch size and doubles the op count. Here the
+    two forwards fuse into batch-2B ops (better MXU utilization on the
+    96^2/48^2 blocks — measured on v5e), residuals save only the sr half,
+    and the backward is written out layer-by-layer: relu masks, max-pool
+    vjps, conv input-gradients via the kernel-transpose identity, and the
+    3->64 stem's packed-GEMM image gradient (ops/fastgrad.py).
+
+    FROZEN-PAIR CONTRACT: gradients flow ONLY to `sr_n`. The returned
+    cotangents for `gt_n` are zero and the VGG parameters (closed over as
+    constants) receive none — exactly the reference's semantics, where VGG
+    is a frozen feature extractor and gt enters the loss as data. Do not
+    reuse this for a fine-tuned extractor.
+
+    relu'(0) note: the mask credits strictly-positive activations (torch
+    semantics); jax's `maximum` autodiff gives 0.5 at exactly 0 — a
+    measure-zero input set for float activations.
+    """
+    import jax
+
+    from srgan_st_tpu.ops.fastgrad import stem_image_grad
+
+    deepest = max(int(t.split(".")[1]) for t in taps)
+    params = variables["params"]
+    convs = {}
+    for idx, kind, _ in _torch_indices():
+        if kind == "conv" and idx <= deepest:
+            convs[idx] = (
+                jnp.asarray(params[f"conv{idx}"]["kernel"], dtype),
+                jnp.asarray(params[f"conv{idx}"]["bias"], dtype),
+            )
+
+    def _conv(x, idx):
+        from jax import lax
+
+        w, bias = convs[idx]
+        dn = lax.conv_dimension_numbers(x.shape, w.shape, ("NHWC", "HWIO", "NHWC"))
+        return lax.conv_general_dilated(
+            x, w, (1, 1), "SAME", dimension_numbers=dn
+        ) + bias
+
+    def _dgrad(ct, idx):
+        # input gradient of a SAME 3x3/s1 conv == conv with the spatially
+        # flipped, in/out-transposed kernel
+        w, _ = convs[idx]
+        if w.shape[2] <= 8:  # the 3->64 stem: packed-GEMM formulation
+            return stem_image_grad(ct, w)
+        return _conv_like(ct, w[::-1, ::-1].swapaxes(2, 3))
+
+    def _conv_like(x, w):
+        from jax import lax
+
+        dn = lax.conv_dimension_numbers(x.shape, w.shape, ("NHWC", "HWIO", "NHWC"))
+        return lax.conv_general_dilated(x, w, (1, 1), "SAME", dimension_numbers=dn)
+
+    def _run(x, b):
+        """Shared forward walk; returns (sr_feats, gt_feats, residuals) with
+        residuals = post-relu sr halves per conv layer (the relu masks and
+        pool inputs the backward needs)."""
+        feats_sr, feats_gt, res = {}, {}, {}
+        for idx, kind, _ in _torch_indices():
+            if kind == "conv":
+                x = jax.nn.relu(_conv(x, idx))
+                res[idx] = x[:b]
+                relu_idx = idx + 1
+                if f"features.{relu_idx}" in taps:
+                    feats_sr[f"features.{relu_idx}"] = x[:b]
+                    feats_gt[f"features.{relu_idx}"] = x[b:]
+                if relu_idx >= deepest:
+                    break
+            else:
+                x = nn.max_pool(x, (2, 2), strides=(2, 2))
+                if f"features.{idx}" in taps:
+                    feats_sr[f"features.{idx}"] = x[:b]
+                    feats_gt[f"features.{idx}"] = x[b:]
+                if idx >= deepest:
+                    break
+        return feats_sr, feats_gt, res
+
+    @jax.custom_vjp
+    def pair(sr_n, gt_n):
+        x = jnp.concatenate([sr_n, gt_n], axis=0).astype(dtype)
+        feats_sr, feats_gt, _ = _run(x, sr_n.shape[0])
+        return feats_sr, feats_gt
+
+    def pair_fwd(sr_n, gt_n):
+        x = jnp.concatenate([sr_n, gt_n], axis=0).astype(dtype)
+        feats_sr, feats_gt, res = _run(x, sr_n.shape[0])
+        return (feats_sr, feats_gt), (res, sr_n)
+
+    def pair_bwd(residuals, cts):
+        res, sr_n = residuals
+        ct_sr, _ct_gt_ignored = cts  # frozen-pair contract: gt carries none
+        plan = [(idx, kind) for idx, kind, _ in _torch_indices()
+                if idx <= deepest]
+        ct = None
+        for idx, kind in reversed(plan):
+            if kind == "conv":
+                relu_idx = idx + 1
+                tap = ct_sr.get(f"features.{relu_idx}")
+                if tap is not None:
+                    ct = tap if ct is None else ct + tap
+                ct = jnp.where(res[idx] > 0, ct, 0)  # relu mask
+                ct = _dgrad(ct, idx)
+            else:
+                tap = ct_sr.get(f"features.{idx}")
+                if tap is not None:
+                    ct = tap if ct is None else ct + tap
+                if ct is not None:
+                    # pool input == the previous conv's saved post-relu
+                    prev = max(i for i, k in plan if k == "conv" and i < idx)
+                    _, pvjp = jax.vjp(
+                        lambda z: nn.max_pool(z, (2, 2), strides=(2, 2)),
+                        res[prev],
+                    )
+                    (ct,) = pvjp(ct)
+        dsr = ct.astype(sr_n.dtype)
+        return dsr, jnp.zeros_like(sr_n)
+
+    pair.defvjp(pair_fwd, pair_bwd)
+    return pair
+
+
 def load_vgg19_npz(path: str, taps: tuple[str, ...]) -> dict:
     """Load converted torchvision VGG19 weights (see tools/convert_vgg19.py)
     into a flax params tree for VGG19Features, keeping only the layers the

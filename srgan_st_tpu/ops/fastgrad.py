@@ -61,15 +61,16 @@ def _stem_fwd(x, w, b):
     return _conv3x3_same(x, w, b), (x, w)
 
 
-def _stem_bwd(res, ct):
-    x, w = res
-    bsz, h, width, _ = x.shape
+def stem_image_grad(ct, w):
+    """Input gradient of a SAME 3x3 stride-1 conv as a packed GEMM +
+    overlap-add: dx[b,m,n,c] = sum_{p,q,k} ct[b,m-p+1,n-q+1,k]*w[p,q,c,k].
+    The (B*H*W, K) x (K, kh*kw*Cin) matmul contracts over the well-laid-out
+    K axis; the 9 statically-shifted adds accumulate in f32."""
+    bsz, h, width, _ = ct.shape
     kh, kw, cin, cout = w.shape
-    # dx: one (B*H*W, K)x(K, kh*kw*Cin) matmul...
     wm = jnp.moveaxis(w, -1, 0).reshape(cout, kh * kw * cin)
     y2 = lax.dot_general(ct, wm, (((3,), (0,)), ((), ())))
     y2 = y2.reshape(bsz, h, width, kh, kw, cin)
-    # ...then 9 statically-shifted adds, accumulated in f32
     pad = jnp.pad(y2, ((0, 0), (1, 1), (1, 1), (0, 0), (0, 0), (0, 0)))
     acc = jnp.zeros((bsz, h, width, cin), jnp.float32)
     for p in range(kh):
@@ -77,7 +78,12 @@ def _stem_bwd(res, ct):
             acc = acc + pad[:, 2 - p:2 - p + h, 2 - q:2 - q + width, p, q, :].astype(
                 jnp.float32
             )
-    dx = acc.astype(x.dtype)
+    return acc.astype(ct.dtype)
+
+
+def _stem_bwd(res, ct):
+    x, w = res
+    dx = stem_image_grad(ct, w)
     # dw via XLA's own conv-wgrad lowering (DCE'd when the stem is frozen)
     dw = jax.vjp(lambda w_: _conv3x3_same(x, w_, None), w)[1](ct)[0]
     db = ct.astype(jnp.float32).sum((0, 1, 2)).astype(ct.dtype)

@@ -36,7 +36,7 @@ from srgan_st_tpu.train.steps import (
     make_g_optimizer,
     make_gan_chunk_step,
 )
-from srgan_st_tpu.train.utils import chunked_batches, make_test_pairs, resolve_chunk_steps
+from srgan_st_tpu.train.utils import iter_chunks, make_test_pairs, resolve_chunk_steps
 
 
 def train(config):
@@ -120,9 +120,10 @@ def train(config):
 
         batch_num = 0
         d_vals = {}
-        for chunk in chunked_batches(source.epoch(epoch), chunk_size):
+        for chunk in iter_chunks(source, epoch, chunk_size,
+                                 put=lambda c: shard_chunk(c, mesh)):
             do_d = batch_num % config.SOLVER.D_UPDATE_INTERVAL == 0
-            state, metrics = chunk_fn(state, shard_chunk(chunk, mesh), do_d)
+            state, metrics = chunk_fn(state, chunk, do_d)
 
             if batch_num % config.LOG_TRAIN_PERIOD == 0:
                 vals = jax.device_get(metrics)

@@ -22,6 +22,19 @@ def chunked_batches(epoch_iter, chunk_size: int):
         yield np.stack(buf)
 
 
+def iter_chunks(source, epoch_idx: int, chunk_size: int, put=None):
+    """The drivers' chunk iterator. Chunk-native sources (`epoch_chunks`,
+    e.g. PackedPatchSource) gather each chunk as one fancy-index and run
+    `put` (the host->device transfer) on their prefetch thread, so the
+    dispatch loop only dequeues device-ready chunks; other sources fall
+    back to consumer-side stacking + put."""
+    if hasattr(source, "epoch_chunks"):
+        yield from source.epoch_chunks(epoch_idx, chunk_size, put)
+        return
+    for chunk in chunked_batches(source.epoch(epoch_idx), chunk_size):
+        yield put(chunk) if put is not None else chunk
+
+
 def resolve_chunk_steps(config, interval: int, steps_per_epoch: int) -> int:
     """Chunk size: TPU.CHUNK_STEPS override, else the natural interval
     (D_UPDATE_INTERVAL for GAN, LOG_TRAIN_PERIOD for warmup), capped to the

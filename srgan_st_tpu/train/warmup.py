@@ -26,7 +26,7 @@ from srgan_st_tpu.train.steps import (
     make_g_optimizer,
     make_warmup_chunk_step,
 )
-from srgan_st_tpu.train.utils import chunked_batches, make_test_pairs, resolve_chunk_steps
+from srgan_st_tpu.train.utils import iter_chunks, make_test_pairs, resolve_chunk_steps
 
 
 def warmup(config):
@@ -91,14 +91,15 @@ def warmup(config):
     for epoch in range(start_epoch, config.EXP.N_EPOCHS):
         print(f"Beginning train epoch: {epoch+1}")
 
-        for chunk in chunked_batches(source.epoch(epoch), chunk_size):
+        for chunk in iter_chunks(source, epoch, chunk_size,
+                                 put=lambda c: shard_chunk(c, mesh)):
             batch_num = batches_done % steps_per_epoch
             # the logged metrics belong to the chunk's FIRST batch; the
             # reference logs it at batches_done after that batch's
             # increment (warmup.py:75,105)
             log_step = batches_done + 1
             batches_done += len(chunk)
-            state, metrics = chunk_fn(state, shard_chunk(chunk, mesh))
+            state, metrics = chunk_fn(state, chunk)
 
             if batch_num % config.LOG_TRAIN_PERIOD != 0:
                 continue

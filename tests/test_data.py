@@ -84,6 +84,28 @@ class TestSources:
         b2 = list(TrainPatchSource(out, batch_size=4, seed=7, num_workers=1).epoch(3))
         assert any(not np.array_equal(x, y) for x, y in zip(a2, b2))
 
+    def test_epoch_chunks_matches_epoch(self, tmp_path, rng):
+        """Chunk-native gathers (epoch_chunks — the producer-thread fast
+        path the drivers use) must yield bit-identical batch composition
+        to epoch() + chunked_batches: the deterministic-resume contract."""
+        from srgan_st_tpu.train.utils import chunked_batches, iter_chunks
+
+        pack = tmp_path / "patches.pack.npy"
+        np.save(pack, rng.integers(0, 256, (44, 8, 8, 3), np.uint8))
+        a = PackedPatchSource(str(pack), batch_size=4, seed=3)
+        b = PackedPatchSource(str(pack), batch_size=4, seed=3)
+        # 11 batches, chunk 4 -> chunks of 4/4/3 (partial final chunk)
+        ref = list(chunked_batches(a.epoch(5), 4))
+        fast = list(b.epoch_chunks(5, 4))
+        assert [c.shape for c in fast] == [c.shape for c in ref]
+        for x, y in zip(fast, ref):
+            np.testing.assert_array_equal(x, y)
+        # iter_chunks dispatches to the fast path and applies put
+        c = PackedPatchSource(str(pack), batch_size=4, seed=3)
+        tagged = list(iter_chunks(c, 5, 4, put=lambda ch: ("put", ch)))
+        assert all(t[0] == "put" for t in tagged)
+        np.testing.assert_array_equal(tagged[0][1], ref[0])
+
     def test_synthetic_deterministic(self):
         a = list(SyntheticPatchSource(2, 16, n_batches=3, seed=1).epoch())
         b = list(SyntheticPatchSource(2, 16, n_batches=3, seed=1).epoch())

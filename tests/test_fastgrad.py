@@ -56,3 +56,51 @@ class TestStemConv:
             np.asarray(stem.apply(v1, x)), np.asarray(ref.apply(v2, x)),
             rtol=1e-6, atol=1e-6,
         )
+
+
+class TestVGGFrozenPair:
+    """models/vgg.py make_vgg19_frozen_pair: the batch-concatenated
+    forward + hand-written sr-only backward must reproduce the plain
+    two-forward autodiff path (values and sr-gradient)."""
+
+    def test_matches_two_forward_path(self, rng):
+        from srgan_st_tpu.losses.functions import content_loss_vgg
+        from srgan_st_tpu.models.vgg import VGG19Features, make_vgg19_frozen_pair
+
+        taps = ("features.17", "features.26", "features.35")
+        weights = {t: 1.0 / (i + 1) for i, t in enumerate(taps)}
+        model = VGG19Features(taps=taps)
+        # 48px keeps all taps alive at a quarter of the CPU cost
+        variables = model.init(jax.random.key(0), jnp.zeros((1, 48, 48, 3)))
+        pair = make_vgg19_frozen_pair(variables, taps, jnp.float32)
+        sr = jnp.asarray(rng.random((2, 48, 48, 3), np.float32))
+        gt = jnp.asarray(rng.random((2, 48, 48, 3), np.float32))
+
+        ref_fn = lambda s: content_loss_vgg(  # noqa: E731
+            s, gt, vgg_apply=lambda x: model.apply(variables, x),
+            layer_weights=weights)
+        pair_fn = lambda s: content_loss_vgg(  # noqa: E731
+            s, gt, vgg_pair=pair, layer_weights=weights)
+
+        v_ref, g_ref = jax.value_and_grad(ref_fn)(sr)
+        v_pair, g_pair = jax.value_and_grad(pair_fn)(sr)
+        np.testing.assert_allclose(float(v_pair), float(v_ref), rtol=1e-6)
+        np.testing.assert_allclose(
+            np.asarray(g_pair), np.asarray(g_ref), rtol=1e-4, atol=1e-7
+        )
+
+    def test_gt_and_params_receive_no_gradient(self, rng):
+        """The frozen-pair contract: d/d gt is exactly zero."""
+        from srgan_st_tpu.models.vgg import VGG19Features, make_vgg19_frozen_pair
+
+        taps = ("features.3",)
+        model = VGG19Features(taps=taps)
+        variables = model.init(jax.random.key(0), jnp.zeros((1, 8, 8, 3)))
+        pair = make_vgg19_frozen_pair(variables, taps, jnp.float32)
+        sr = jnp.asarray(rng.random((1, 8, 8, 3), np.float32))
+        gt = jnp.asarray(rng.random((1, 8, 8, 3), np.float32))
+        g = jax.grad(
+            lambda g_: (pair(sr, g_)[0]["features.3"]
+                        - pair(sr, g_)[1]["features.3"]).sum()
+        )(gt)
+        np.testing.assert_array_equal(np.asarray(g), 0.0)
