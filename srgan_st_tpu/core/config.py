@@ -93,6 +93,11 @@ class Config:
         # GT_IMAGE_SIZE^2 crops on device, deterministic across resume.
         self.DATA.TILE_SIZE = None
         self.DATA.NUM_WORKERS = 4           # decode worker threads
+        # HBM-resident packed dataset: stage the pack on-device once and
+        # gather batches there (host ships only int32 indices). "auto"
+        # enables it when the pack fits DEVICE_CACHE_BUDGET bytes/device.
+        self.DATA.DEVICE_CACHE = "auto"
+        self.DATA.DEVICE_CACHE_BUDGET = 4 << 30
 
         # ------------------------------------------------------------------
         # Model (reference config.py:45-96)

@@ -193,7 +193,9 @@ class PackedPatchSource:
 
     def __init__(self, pack_path: str, batch_size: int, seed: int = 0,
                  prefetch: int = 2, process_index: int | None = None,
-                 process_count: int | None = None, **_unused):
+                 process_count: int | None = None,
+                 device_cache: bool | str = "auto",
+                 device_cache_budget: int = 4 << 30, **_unused):
         self.pack = np.load(pack_path, mmap_mode="r")
         if self.pack.ndim != 4 or self.pack.dtype != np.uint8:
             raise ValueError(f"not a patch pack: {pack_path} {self.pack.shape}")
@@ -204,6 +206,10 @@ class PackedPatchSource:
         self._epoch_counter = 0
         self._pslice = _DeferredProcessSlice(batch_size, process_index,
                                              process_count)
+        if device_cache == "auto":
+            device_cache = self.pack.nbytes <= device_cache_budget
+        self.device_cache = bool(device_cache)
+        self._device_state = None  # (mesh, resident pack, jitted gather)
 
     def __len__(self) -> int:
         return self.pack.shape[0] // self.batch_size
@@ -305,6 +311,71 @@ class PackedPatchSource:
         finally:
             stop.set()
 
+    def _resident(self, mesh):
+        """Stage the whole pack in HBM (replicated over `mesh`) and build
+        the jitted on-device batch gather. Cached per mesh."""
+        if self._device_state is not None and self._device_state[0] is mesh:
+            return self._device_state[1], self._device_state[2]
+        import jax
+        import jax.numpy as jnp
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        replicated = NamedSharding(mesh, P())
+        pack = np.ascontiguousarray(self.pack)
+        if jax.process_count() > 1:
+            # replicated sharding: every device's shard is the full array,
+            # so process-local data is the full (identical) pack
+            dev_pack = jax.make_array_from_process_local_data(
+                replicated, pack, pack.shape
+            )
+        else:
+            dev_pack = jax.device_put(pack, replicated)
+        batch_sharding = NamedSharding(mesh, P(None, "data"))
+
+        def gather(pack_, idx):
+            flat = jnp.take(pack_, idx.reshape(-1), axis=0)
+            return flat.reshape(*idx.shape, *pack_.shape[1:])
+
+        gather_jit = jax.jit(
+            gather,
+            in_shardings=(replicated, batch_sharding),
+            out_shardings=batch_sharding,
+        )
+        self._device_state = (mesh, dev_pack, gather_jit)
+        return dev_pack, gather_jit
+
+    def epoch_chunks_device(self, epoch_idx: int | None, chunk_size: int,
+                            mesh):
+        """HBM-resident epoch: the pack lives on the devices (staged once,
+        replicated — it is read-only training data) and each (K, B, S, S, 3)
+        chunk is gathered ON DEVICE from a (K, B) int32 index array, so the
+        host ships ~8 bytes/patch instead of ~27 KB/patch.
+
+        Why this is the TPU-native default: a packed SISR training set is
+        small next to HBM (DIV2K tiled at 96^2 is ~3.6 GB vs 16 GB on v5e),
+        while the host->device link is the one resource the input pipeline
+        cannot buy back with threads — on this environment's tunneled chip
+        it streams unique data at ~50 MB/s, capping streamed training at
+        ~1.7k patches/s no matter how far ahead the host runs. Resident
+        gathers move the per-chunk transfer from 44 MB to 6 KB and run the
+        (1600, 96, 96, 3) uint8 take at HBM bandwidth (~0.1 ms).
+
+        Batch composition is bit-identical to epoch()/epoch_chunks (same
+        (seed, epoch)-keyed permutation, per-batch index sort, per-process
+        contiguous share) — pinned by
+        test_data.py::test_epoch_chunks_device_matches_host."""
+        from srgan_st_tpu.parallel.mesh import shard_chunk
+
+        order, n_batches = self._epoch_order(epoch_idx)
+        dev_pack, gather_jit = self._resident(mesh)
+        for start in range(0, n_batches, chunk_size):
+            k = min(chunk_size, n_batches - start)
+            idx = order[start * self.batch_size:
+                        (start + k) * self.batch_size]
+            idx = np.sort(idx.reshape(k, self.batch_size), axis=1)
+            idx = idx[:, self._pslice.get()].astype(np.int32)
+            yield gather_jit(dev_pack, shard_chunk(idx, mesh))
+
 
 def make_train_source(config):
     # tiles may be larger than GT_IMAGE_SIZE — the train step then takes
@@ -324,6 +395,8 @@ def make_train_source(config):
         return PackedPatchSource(
             pack, config.DATA.BATCH_SIZE,
             seed=config.DATA.SEED, prefetch=config.DATA.PREFETCH,
+            device_cache=config.DATA.DEVICE_CACHE,
+            device_cache_budget=config.DATA.DEVICE_CACHE_BUDGET,
         )
     return TrainPatchSource(
         gt_dir,

@@ -23,7 +23,7 @@ from srgan_st_tpu.losses.registry import build_criterions
 from srgan_st_tpu.models.discriminator import Discriminator
 from srgan_st_tpu.models.generator import Generator
 from srgan_st_tpu.parallel.distributed import initialize_distributed, is_coordinator
-from srgan_st_tpu.parallel.mesh import make_mesh, replicated, shard_chunk
+from srgan_st_tpu.parallel.mesh import make_mesh, replicated
 from srgan_st_tpu.train.checkpoint import (
     CheckpointPolicy,
     load_params_npz,
@@ -120,8 +120,7 @@ def train(config):
 
         batch_num = 0
         d_vals = {}
-        for chunk in iter_chunks(source, epoch, chunk_size,
-                                 put=lambda c: shard_chunk(c, mesh)):
+        for chunk in iter_chunks(source, epoch, chunk_size, mesh=mesh):
             do_d = batch_num % config.SOLVER.D_UPDATE_INTERVAL == 0
             state, metrics = chunk_fn(state, chunk, do_d)
 

@@ -22,12 +22,27 @@ def chunked_batches(epoch_iter, chunk_size: int):
         yield np.stack(buf)
 
 
-def iter_chunks(source, epoch_idx: int, chunk_size: int, put=None):
-    """The drivers' chunk iterator. Chunk-native sources (`epoch_chunks`,
-    e.g. PackedPatchSource) gather each chunk as one fancy-index and run
-    `put` (the host->device transfer) on their prefetch thread, so the
-    dispatch loop only dequeues device-ready chunks; other sources fall
-    back to consumer-side stacking + put."""
+def iter_chunks(source, epoch_idx: int, chunk_size: int, put=None,
+                mesh=None):
+    """The drivers' chunk iterator, fastest available path first:
+
+    1. HBM-resident gathers (`epoch_chunks_device`, PackedPatchSource with
+       device_cache on + a mesh): the pack lives on-device; the host ships
+       only int32 index arrays.
+    2. Chunk-native streaming (`epoch_chunks`): each chunk is gathered as
+       one fancy-index and `put` (the host->device transfer) runs on the
+       source's prefetch thread, so the dispatch loop only dequeues
+       device-ready chunks.
+    3. Fallback: consumer-side stacking + put.
+
+    `put` defaults to sharding over `mesh` when a mesh is given."""
+    if mesh is not None and put is None:
+        from srgan_st_tpu.parallel.mesh import shard_chunk
+
+        put = lambda c: shard_chunk(c, mesh)  # noqa: E731
+    if mesh is not None and getattr(source, "device_cache", False):
+        yield from source.epoch_chunks_device(epoch_idx, chunk_size, mesh)
+        return
     if hasattr(source, "epoch_chunks"):
         yield from source.epoch_chunks(epoch_idx, chunk_size, put)
         return

@@ -18,7 +18,7 @@ from srgan_st_tpu.eval.validate import make_generator_apply, validate
 from srgan_st_tpu.losses.registry import build_warmup_criterions
 from srgan_st_tpu.models.generator import Generator
 from srgan_st_tpu.parallel.distributed import initialize_distributed, is_coordinator
-from srgan_st_tpu.parallel.mesh import make_mesh, replicated, shard_chunk
+from srgan_st_tpu.parallel.mesh import make_mesh, replicated
 from srgan_st_tpu.train.checkpoint import CheckpointPolicy, save_variables_npz
 from srgan_st_tpu.train.logging import ExperimentWriter
 from srgan_st_tpu.train.steps import (
@@ -91,8 +91,7 @@ def warmup(config):
     for epoch in range(start_epoch, config.EXP.N_EPOCHS):
         print(f"Beginning train epoch: {epoch+1}")
 
-        for chunk in iter_chunks(source, epoch, chunk_size,
-                                 put=lambda c: shard_chunk(c, mesh)):
+        for chunk in iter_chunks(source, epoch, chunk_size, mesh=mesh):
             batch_num = batches_done % steps_per_epoch
             # the logged metrics belong to the chunk's FIRST batch; the
             # reference logs it at batches_done after that batch's

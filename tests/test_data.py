@@ -106,6 +106,40 @@ class TestSources:
         assert all(t[0] == "put" for t in tagged)
         np.testing.assert_array_equal(tagged[0][1], ref[0])
 
+    def test_epoch_chunks_device_matches_host(self, tmp_path, rng):
+        """HBM-resident gathers (epoch_chunks_device) must yield the exact
+        batch composition of the host path — device_cache changes WHERE the
+        gather runs, never WHAT the step sees."""
+        from srgan_st_tpu.parallel.mesh import make_mesh
+        from srgan_st_tpu.train.utils import chunked_batches, iter_chunks
+
+        pack = tmp_path / "patches.pack.npy"
+        # batch 8 over the 8-device mesh -> 1 per device; 44 rows -> 5
+        # batches, chunk 2 -> chunks of 2/2/1 (partial final chunk)
+        np.save(pack, rng.integers(0, 256, (44, 8, 8, 3), np.uint8))
+        host = PackedPatchSource(str(pack), batch_size=8, seed=3,
+                                 device_cache=False)
+        dev = PackedPatchSource(str(pack), batch_size=8, seed=3,
+                                device_cache=True)
+        assert dev.device_cache and not host.device_cache
+        mesh = make_mesh()
+        ref = list(chunked_batches(host.epoch(5), 2))
+        fast = list(iter_chunks(dev, 5, 2, mesh=mesh))
+        assert [tuple(c.shape) for c in fast] == [c.shape for c in ref]
+        for x, y in zip(fast, ref):
+            np.testing.assert_array_equal(np.asarray(x), y)
+
+    def test_device_cache_auto_gate(self, tmp_path, rng):
+        """auto resolves by pack size vs budget."""
+        pack = tmp_path / "patches.pack.npy"
+        np.save(pack, rng.integers(0, 256, (16, 8, 8, 3), np.uint8))
+        small = PackedPatchSource(str(pack), batch_size=4,
+                                  device_cache="auto",
+                                  device_cache_budget=1 << 20)
+        big = PackedPatchSource(str(pack), batch_size=4,
+                                device_cache="auto", device_cache_budget=64)
+        assert small.device_cache and not big.device_cache
+
     def test_synthetic_deterministic(self):
         a = list(SyntheticPatchSource(2, 16, n_batches=3, seed=1).epoch())
         b = list(SyntheticPatchSource(2, 16, n_batches=3, seed=1).epoch())

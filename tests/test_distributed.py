@@ -182,6 +182,25 @@ _CHILD = textwrap.dedent(
     )
     ck = float(np.asarray(got.g_params["conv1"]["kernel"]).ravel()[0])
 
+    # HBM-resident packed source over the multi-host mesh: the pack is
+    # replicated via make_array_from_process_local_data; each device
+    # gathers its own batch shard on device. Local shards must equal the
+    # host-path gather for this process's contiguous share.
+    from srgan_st_tpu.data.pipeline import PackedPatchSource
+
+    pack_path = os.environ["SRGAN_ST_TEST_PACK"]
+    dev_src = PackedPatchSource(pack_path, 8, seed=3, device_cache=True)
+    dev_chunk = next(dev_src.epoch_chunks_device(0, 2, mesh))
+    assert dev_chunk.shape == (2, 8, 8, 8, 3), dev_chunk.shape
+    host_src = PackedPatchSource(pack_path, 8, seed=3, device_cache=False)
+    host_chunk = next(host_src.epoch_chunks(0, 2))
+    local = np.concatenate(
+        [np.asarray(s.data) for s in sorted(
+            dev_chunk.addressable_shards, key=lambda s: s.index[1].start)],
+        axis=1,
+    )
+    np.testing.assert_array_equal(local, host_chunk)
+
     print(f"COORD={int(is_coordinator())} LOSS={loss:.9e} SMLOSS={sm_loss:.9e}"
           f" CKPT={ck:.9e}",
           flush=True)
@@ -202,11 +221,15 @@ def test_two_process_cpu_mesh_warmup_step(tmp_path):
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     script = tmp_path / "child.py"
     script.write_text(_CHILD)
+    pack_path = tmp_path / "patches.pack.npy"
+    np.save(pack_path, np.random.default_rng(9).integers(
+        0, 256, (40, 8, 8, 3), np.uint8))
     procs = []
     for pid in range(2):
         env = dict(os.environ)
         env["SRGAN_ST_COORDINATOR"] = f"127.0.0.1:{port}"
         env["SRGAN_ST_TEST_CKPT_DIR"] = str(tmp_path / "ckpt")
+        env["SRGAN_ST_TEST_PACK"] = str(pack_path)
         env["SRGAN_ST_NUM_PROCESSES"] = "2"
         env["SRGAN_ST_PROCESS_ID"] = str(pid)
         env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
