@@ -100,6 +100,8 @@ def measure(name: str) -> dict:
     config = _make_config(name)
     dtype = os.environ.get("BENCH_DTYPE", "bfloat16")
     config.TPU.COMPUTE_DTYPE = dtype
+    # trunk-path A/B (None = auto, "unfused"/"packed"/"fused")
+    config.TPU.TRUNK_MODE = os.environ.get("BENCH_TRUNK") or None
 
     n_chips = len(jax.devices())
     # reference batch per chip (16); BENCH_BATCH overrides for capability

@@ -205,6 +205,11 @@ class Config:
         self.TPU.COMPUTE_DTYPE = "float32"
         self.TPU.DONATE = True              # donate state buffers in jitted steps
         self.TPU.REMAT = False              # jax.checkpoint the generator trunk
+        # Generator trunk execution path: None = auto (see
+        # models/generator.py Generator._trunk_mode), or force "unfused" /
+        # "fused" / "packed" (the lane-packed Pallas fwd+bwd pair,
+        # kernels/packed_trunk.py).
+        self.TPU.TRUNK_MODE = None
         # Batches per device dispatch (lax.scan chunk). None -> the natural
         # interval (D_UPDATE_INTERVAL for GAN, LOG_TRAIN_PERIOD for warmup);
         # 1 -> per-batch stepping. Host dispatch of the ~700-leaf train state

@@ -121,6 +121,7 @@ class Generator(nn.Module):
             dtype=dtype or jnp.dtype(config.TPU.COMPUTE_DTYPE),
             axis_name=axis_name,
             remat=config.TPU.REMAT,
+            trunk_mode=getattr(config.TPU, "TRUNK_MODE", None),
         )
 
     def _trunk_mode(self, train: bool) -> str:
@@ -166,9 +167,16 @@ class Generator(nn.Module):
             for i in range(self.num_rcb)
         ]
         operands = stack_rcb_params(rcb_params)
-        y, stats = fused_trunk(
-            x, *operands, 1e-5, mode == "fused_interpret"
-        )
+        if mode.startswith("packed"):
+            from srgan_st_tpu.kernels.packed_trunk import packed_trunk
+
+            y, stats = packed_trunk(
+                x, *operands, 1e-5, mode == "packed_interpret"
+            )
+        else:
+            y, stats = fused_trunk(
+                x, *operands, 1e-5, mode == "fused_interpret"
+            )
         # torch-faithful running-stat EMA (common.BatchNorm): unbiased
         # batch variance; stats (N, 4, C) = [m1, v1, m2, v2] per block
         if train and self.is_mutable_collection("batch_stats"):

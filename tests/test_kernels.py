@@ -144,3 +144,95 @@ class TestFusedTrunk:
         e1 = g_fu.apply(v, lr, train=False)
         e2 = g_un.apply(v, lr, train=False)
         np.testing.assert_array_equal(np.asarray(e1), np.asarray(e2))
+
+
+class TestPackedTrunk:
+    """kernels/packed_trunk.py: the lane-packed fused trunk (fwd + bwd
+    Pallas kernels; interpret mode here, same code on the real TPU)."""
+
+    def _args(self, rng, n=2, c=32):
+        f = lambda *s: jnp.asarray(rng.standard_normal(s), np.float64).astype(  # noqa: E731
+            jnp.float32
+        )
+        return (f(n, 3, 3, c, c) * 0.05, f(n, 3, 3, c, c) * 0.05,
+                1 + 0.1 * f(n, c), 0.1 * f(n, c),
+                1 + 0.1 * f(n, c), 0.1 * f(n, c), 0.25 + 0.01 * f(n))
+
+    def test_pack_roundtrip(self, rng):
+        from srgan_st_tpu.kernels.packed_trunk import (
+            _wpad, pack_image, unpack_image,
+        )
+
+        x = jnp.asarray(rng.random((2, 6, 10, 8), np.float32))
+        wp = _wpad(10)
+        y = pack_image(x, wp)
+        assert y.shape == (2, 6, wp, 16)
+        np.testing.assert_array_equal(np.asarray(unpack_image(y, 10)),
+                                      np.asarray(x))
+
+    def test_f32_forward_and_grads_match_reference(self, rng):
+        """At f32 both Pallas kernels must match autodiff of the same math
+        to fp tolerance — validates the packed conv/roll algebra, the
+        in-kernel BN stats/backward, and the wgrad pack adjoint."""
+        from srgan_st_tpu.kernels.fused_trunk import trunk_reference
+        from srgan_st_tpu.kernels.packed_trunk import packed_trunk
+
+        args = self._args(rng)
+        x = jnp.asarray(rng.standard_normal((2, 8, 8, 32)), jnp.float32)
+        y_ref, st_ref = trunk_reference(x, *args)
+        y_k, st_k = packed_trunk(x, *args, 1e-5, True)
+        np.testing.assert_allclose(np.asarray(y_k), np.asarray(y_ref), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(st_k), np.asarray(st_ref), atol=1e-5)
+
+        def loss_k(x, *a):
+            return jnp.sum(packed_trunk(x, *a, 1e-5, True)[0] ** 2)
+
+        def loss_r(x, *a):
+            return jnp.sum(trunk_reference(x, *a)[0] ** 2)
+
+        gk = jax.grad(loss_k, argnums=tuple(range(8)))(x, *args)
+        gr = jax.grad(loss_r, argnums=tuple(range(8)))(x, *args)
+        for a, b in zip(gk, gr):
+            scale = float(jnp.abs(b).max()) + 1e-9
+            assert float(jnp.abs(a - b).max()) / scale < 1e-4
+
+    def test_odd_width_rejected(self, rng):
+        """The W-parity pack requires even fine width."""
+        from srgan_st_tpu.kernels.packed_trunk import packed_trunk
+
+        args = self._args(rng, n=1, c=32)
+        x = jnp.asarray(rng.standard_normal((1, 4, 6, 32)), jnp.float32)
+        y, _ = packed_trunk(x, *args, 1e-5, True)  # even: fine
+        assert y.shape == x.shape
+        x_odd = jnp.asarray(rng.standard_normal((1, 4, 7, 32)), jnp.float32)
+        with pytest.raises(ValueError):
+            packed_trunk(x_odd, *args, 1e-5, True)
+
+    def test_generator_packed_matches_unfused(self, rng):
+        """Integrated: Generator(trunk_mode='packed_interpret') must match
+        the unfused flax path — same variable tree, same batch-stat EMA,
+        bf16-level forward agreement."""
+        from srgan_st_tpu.models.generator import Generator
+
+        g_un = Generator(channels=32, num_rcb=3, upscale=4,
+                         dtype=jnp.bfloat16, trunk_mode="unfused")
+        g_pk = Generator(channels=32, num_rcb=3, upscale=4,
+                         dtype=jnp.bfloat16, trunk_mode="packed_interpret")
+        lr = jnp.asarray(rng.random((2, 12, 12, 3), np.float32))
+        v = g_un.init(jax.random.key(0), lr[:1], train=False)
+
+        out_un, mut_un = g_un.apply(v, lr, train=True, mutable=["batch_stats"])
+        out_pk, mut_pk = g_pk.apply(v, lr, train=True, mutable=["batch_stats"])
+        assert (jax.tree_util.tree_structure(mut_un)
+                == jax.tree_util.tree_structure(mut_pk))
+        np.testing.assert_allclose(
+            np.asarray(out_pk, np.float32), np.asarray(out_un, np.float32),
+            atol=0.06,  # bf16 accumulation-order rounding through 3 blocks
+        )
+        for a, b in zip(jax.tree_util.tree_leaves(mut_un),
+                        jax.tree_util.tree_leaves(mut_pk)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-2)
+
+        e1 = g_pk.apply(v, lr, train=False)
+        e2 = g_un.apply(v, lr, train=False)
+        np.testing.assert_array_equal(np.asarray(e1), np.asarray(e2))
