@@ -449,7 +449,9 @@ def _prep(x, w1s, w2s, g1s, b1s, g2s, b2s):
         [jnp.concatenate([v, v], -1) for v in (g1s, b1s, g2s, b2s)], 1
     ).astype(jnp.float32)  # (n, 4, 2c)
     mska, mskb = _masks(h, w, wp, c, cdt)
-    pp = _pp(2 * c, cdt)
+    # pp only ever multiplies f32 stat sums — keep it f32 so the fold dot
+    # is a plain f32 matmul (no mixed-dtype MXU lowering)
+    pp = _pp(2 * c, jnp.float32)
     return xp, w1p, w2p, vecs, mska, mskb, pp, wp
 
 
