@@ -124,17 +124,38 @@ class Generator(nn.Module):
             trunk_mode=getattr(config.TPU, "TRUNK_MODE", None),
         )
 
-    def _trunk_mode(self, train: bool) -> str:
+    def _packed_ok(self, x) -> bool:
+        """Semantics gate for the lane-packed trunk (kernels/
+        packed_trunk.py): bf16 train steps, per-call batch stats (sync-BN
+        under an axis_name needs the unfused path's cross-shard mean),
+        single device (Pallas custom calls are opaque to GSPMD sharding
+        propagation), even fine width, C a multiple of 64 (full lane
+        packing), and a VMEM-sized activation block."""
+        import jax
+
+        if self.dtype != jnp.bfloat16 or self.axis_name is not None:
+            return False
+        if jax.device_count() != 1:
+            return False
+        b, h, w, c = x.shape
+        if w % 2 or c % 64 or c < 64:
+            return False
+        # per-block VMEM residency: ~6 (b, h+2, wp, 2c) bf16 buffers live
+        # across fwd+bwd scratch + streamed blocks; cap well under 128 MB
+        wp = -(-(w // 2 + 1) // 16) * 16
+        block_bytes = b * (h + 2) * wp * 2 * c * 2
+        return 8 * block_bytes <= 96 * 1024 * 1024
+
+    def _trunk_mode(self, train: bool, x=None) -> str:
         """Resolve the trunk execution path (see `trunk_mode`).
 
-        Auto currently resolves to UNFUSED everywhere: the fused Pallas
-        forward (kernels/fused_trunk.py) is measured SLOWER than XLA's
-        unrolled trunk on v5e (983 vs 353 us/step forward — Mosaic lowers
-        the batched (B, H, W, C) x (C, C) dots as per-row matmuls), and
-        the XLA path's real cost center is the backward (~1.0 ms/step of
-        dgrad/wgrad/BN-bwd). The kernel stays as the numerics-validated
-        basis for a future merged-lane fwd+bwd pair; opt in with
-        trunk_mode="fused"."""
+        Auto currently resolves to UNFUSED pending the on-chip A/B of the
+        lane-packed pair (kernels/packed_trunk.py; prototype conv timings
+        6.7 us vs XLA's ~11-13). The first fused attempt
+        (kernels/fused_trunk.py) is measured SLOWER than XLA's unrolled
+        trunk on v5e (983 vs 353 us/step forward — Mosaic lowers the
+        batched (B, H, W, C) x (C, C) dots as per-row matmuls); both stay
+        opt-in via trunk_mode="fused"/"packed"."""
         if self.trunk_mode is not None:
             return self.trunk_mode
         return "unfused"
@@ -144,7 +165,9 @@ class Generator(nn.Module):
         with an IDENTICAL variable tree (the fused path reads/writes the
         per-RCB subtrees directly via the module scope)."""
         # eval always runs unfused: the kernel has no running-average mode
-        mode = self._trunk_mode(train) if train else "unfused"
+        mode = self._trunk_mode(train, x) if train else "unfused"
+        if mode == "packed" and not self._packed_ok(x):
+            mode = "unfused"  # out-of-gate shapes/meshes fall back safely
         rcb0 = self.scope.get_variable("params", "rcb0")
         if mode == "unfused" or self.is_initializing() or rcb0 is None:
             block = ResidualConvBlock
