@@ -236,3 +236,62 @@ class TestPackedTrunk:
         e1 = g_pk.apply(v, lr, train=False)
         e2 = g_un.apply(v, lr, train=False)
         np.testing.assert_array_equal(np.asarray(e1), np.asarray(e2))
+
+    def test_warmup_step_packed_matches_unfused(self, rng):
+        """Integration: a full jitted warmup step (steps.py) with
+        TPU.TRUNK_MODE='packed_interpret' must match the unfused step from
+        the same initial state — params, batch-stat EMA, and metrics."""
+        from srgan_st_tpu.core.config import Config
+        from srgan_st_tpu.losses.registry import build_warmup_criterions
+        from srgan_st_tpu.models.generator import Generator
+        from srgan_st_tpu.train.steps import (
+            create_generator_state,
+            make_g_optimizer,
+            make_warmup_step,
+        )
+
+        def run(trunk_mode):
+            config = Config()
+            config.DATA.SYNTHETIC = True
+            config.DATA.BATCH_SIZE = 4
+            config.DATA.GT_IMAGE_SIZE = 32
+            config.MODEL.G_N_RCB = 2
+            config.MODEL.G_N_CHANNEL = 16
+            config.TPU.TRUNK_MODE = trunk_mode
+            g_model = Generator.from_config(config)
+            g_tx = make_g_optimizer(config, 10, milestones=False)
+            crits = build_warmup_criterions(config)
+            state = create_generator_state(config, g_model, g_tx)
+            step = jax.jit(make_warmup_step(config, g_model, crits, g_tx))
+            batch = jnp.asarray(
+                np.random.default_rng(3).integers(0, 256, (4, 32, 32, 3)),
+                jnp.uint8,
+            )
+            for _ in range(2):
+                state, metrics = step(state, batch)
+            return state, metrics
+
+        s_un, m_un = run("unfused")
+        s_pk, m_pk = run("packed_interpret")
+        assert abs(float(m_pk["G_Loss"]) - float(m_un["G_Loss"])) < 1e-5
+        for a, b in zip(jax.tree_util.tree_leaves(s_un.g_params),
+                        jax.tree_util.tree_leaves(s_pk.g_params)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=5e-5, rtol=1e-4)
+        for a, b in zip(jax.tree_util.tree_leaves(s_un.g_stats),
+                        jax.tree_util.tree_leaves(s_pk.g_stats)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=5e-5, rtol=1e-4)
+
+    def test_packed_gate_falls_back_out_of_envelope(self, rng):
+        """trunk_mode='packed' outside the semantics gate (f32, 8-device
+        CPU) must silently run the unfused path, bit-identical to it."""
+        from srgan_st_tpu.models.generator import Generator
+
+        g_un = Generator(channels=32, num_rcb=2, upscale=4, trunk_mode="unfused")
+        g_pk = Generator(channels=32, num_rcb=2, upscale=4, trunk_mode="packed")
+        lr = jnp.asarray(rng.random((2, 12, 12, 3), np.float32))
+        v = g_un.init(jax.random.key(0), lr[:1], train=False)
+        out_un, _ = g_un.apply(v, lr, train=True, mutable=["batch_stats"])
+        out_pk, _ = g_pk.apply(v, lr, train=True, mutable=["batch_stats"])
+        np.testing.assert_array_equal(np.asarray(out_un), np.asarray(out_pk))
