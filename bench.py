@@ -276,6 +276,14 @@ def measure_e2e(stream: bool = False) -> dict:
 
 
 def main() -> None:
+    if "--only" in sys.argv:  # one named row (incl. e2e-packed/e2e-stream)
+        name = sys.argv[sys.argv.index("--only") + 1]
+        if name.startswith("e2e"):
+            record = measure_e2e(stream=name == "e2e-stream")
+        else:
+            record = measure(name)
+        print(json.dumps(record))
+        return
     if "--suite" not in sys.argv:
         record = measure("headline")
         record.pop("config")
