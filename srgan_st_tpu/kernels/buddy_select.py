@@ -1,4 +1,4 @@
-"""Fused best-buddy selection as a Pallas TPU kernel.
+"""Fused best-buddy selection as a tiled Pallas TPU kernel.
 
 Computes, per batch element,
 
@@ -8,11 +8,22 @@ Computes, per batch element,
 loss.py:132-137: two batch_pairwise_distance calls + torch.min + gather).
 
 Fusion rationale: the XLA path materializes two (B, N, M) score tensors in
-HBM (~88 MB each at the training shapes) before reducing them to N indices.
-Here the entire working set lives in VMEM per batch element (bank ~145 KB,
-patches ~110 KB, scores ~5.5 MB), the two distance computations ride the
-MXU as (N, d) @ (d, M) contractions, and the gather is a one-hot (N, M) @
-(M, d) matmul — nothing but the (N, d) selection ever touches HBM.
+HBM (~88 MB each at the training shapes, ~1.4 GB each at 192px GT tiles)
+before reducing them to N indices. Here only (Nt, Mt) score TILES ever
+exist, in VMEM; the distance computations ride the MXU as (Nt, d) @ (d, Mt)
+contractions, the gather is a one-hot (Nt, Mt) @ (Mt, d) matmul, and a
+running (score, selection) pair carried across bank tiles keeps the VMEM
+working set bounded for ANY (N, M) — nothing but the (N, d) selection ever
+touches HBM.
+
+The grid is (B, N-tiles, M-tiles) with the M axis sequential ("arbitrary"):
+each M step folds its tile-local winner into VMEM scratch with a strict `<`,
+which preserves global first-occurrence argmin tie-breaking exactly (ties
+within a tile resolve to the lowest index by jnp.argmin; ties across tiles
+keep the earlier tile's winner). Inputs are zero-padded up to the tile grid
+outside the kernel and padded bank columns are masked to +inf before the
+argmin, so padding can never be selected; padded output rows are sliced off
+on return.
 
 The selection is gradient-free by construction (argmin has no gradient and
 the bank derives from ground truth, so the reference's gather backward is
@@ -20,13 +31,15 @@ dead code — see losses/functions.py); the wrapper stops gradients
 explicitly, keeping the kernel forward-only.
 
 MEASURED (round 2, v5e single chip, `bench.py --suite`): in the full
-flagship GAN step (Adv+Pixel+PatchwiseST+ContentDisc, batch 16) the
-kernel is throughput-NEUTRAL vs the XLA path — 3515 vs 3522 patches/s/chip
-(within run noise). XLA evidently keeps its score tensors fused well
-enough at these shapes. The kernel stays the TPU default for its bounded
-VMEM working set (no (B, N, M) HBM intermediates by construction), but it
-is not a speed win at training shapes; `pallas=False` on the buddy losses
-forces the XLA path.
+flagship GAN step (Adv+Pixel+PatchwiseST+ContentDisc, batch 16, 96px GT)
+the kernel is throughput-NEUTRAL vs the XLA path — 3515 vs 3522
+patches/s/chip (within run noise); XLA keeps its score tensors fused well
+enough at those shapes. The kernel is the TPU default for its bounded
+working set: at 192px+ GT tiles the round-2 whole-(N, M)-in-VMEM version
+could not be allocated at all and the XLA path's HBM intermediates grow
+with (N*M); the tiled version runs at any tile size (large-shape A/B:
+tools/bench_buddy.py). `pallas=False` on the buddy losses forces the XLA
+path.
 """
 
 from __future__ import annotations
@@ -39,37 +52,68 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _buddy_kernel(p1_ref, p2_ref, bank_ref, out_ref, *, alpha, beta, dist_norm):
-    p1 = p1_ref[0]  # (N, d)
-    p2 = p2_ref[0]
-    bank = bank_ref[0]  # (M, d)
-    n = p1.shape[0]
-    m = bank.shape[0]
+def _buddy_kernel(
+    p1_ref, p2_ref, bank_ref, out_ref, score_ref, sel_ref,
+    *, alpha, beta, dist_norm, m_total, m_tile,
+):
+    j = pl.program_id(2)
+    p1 = p1_ref[0].astype(jnp.float32)  # (Nt, d)
+    p2 = p2_ref[0].astype(jnp.float32)
+    bank = bank_ref[0].astype(jnp.float32)  # (Mt, d)
+    nt = p1.shape[0]
+    mt = bank.shape[0]
+
+    # columns of this tile that are real bank entries (the last M tile and
+    # any Pallas block padding are masked out of the argmin)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (1, mt), dimension=1)
+    valid = (cols + j * m_tile) < m_total  # (1, Mt)
 
     if dist_norm == "l2":
-        bank_norm = jnp.sum(bank * bank, axis=1)[None, :]  # (1, M)
+        bank_norm = jnp.sum(bank * bank, axis=1)[None, :]  # (1, Mt)
 
         def l2(p):
-            p_norm = jnp.sum(p * p, axis=1)[:, None]  # (N, 1)
+            p_norm = jnp.sum(p * p, axis=1)[:, None]  # (Nt, 1)
             cross = jnp.dot(p, bank.T, preferred_element_type=jnp.float32)
             return jnp.clip(p_norm + bank_norm - 2.0 * cross, 0.0, None)
 
         score = alpha * l2(p1) + beta * l2(p2)
     elif dist_norm == "l1":
-        # L1 has no matmul form; broadcast in VMEM (small d keeps this cheap)
-        s1 = jnp.abs(p1[:, None, :] - bank[None, :, :]).sum(axis=2)
-        s2 = jnp.abs(p2[:, None, :] - bank[None, :, :]).sum(axis=2)
+        # L1 has no matmul form; accumulate per-feature |p - bank| planes so
+        # VMEM holds (Nt, Mt) running sums, never an (Nt, Mt, d) cube
+        d = p1.shape[1]
+        s1 = jnp.zeros((nt, mt), jnp.float32)
+        s2 = jnp.zeros((nt, mt), jnp.float32)
+        for k in range(d):
+            bk = bank[:, k][None, :]
+            s1 = s1 + jnp.abs(p1[:, k][:, None] - bk)
+            s2 = s2 + jnp.abs(p2[:, k][:, None] - bk)
         score = alpha * s1 + beta * s2
     else:
         raise NotImplementedError(dist_norm)
 
-    ind = jnp.argmin(score, axis=1)  # (N,)
-    # gather-as-matmul: one_hot(ind) @ bank stays on the MXU
-    cols = jax.lax.broadcasted_iota(jnp.int32, (n, m), dimension=1)
-    onehot = (cols == ind[:, None]).astype(bank.dtype)
-    out_ref[0] = jnp.dot(onehot, bank, preferred_element_type=jnp.float32).astype(
-        out_ref.dtype
-    )
+    score = jnp.where(valid, score, jnp.inf)
+    tile_min = jnp.min(score, axis=1, keepdims=True)  # (Nt, 1)
+    tile_arg = jnp.argmin(score, axis=1)  # (Nt,)
+    # gather-as-matmul: one_hot(ind) @ bank stays on the MXU; AND with the
+    # validity mask so an all-padding tile selects nothing
+    cols_nm = jax.lax.broadcasted_iota(jnp.int32, (nt, mt), dimension=1)
+    onehot = ((cols_nm == tile_arg[:, None]) & valid).astype(jnp.float32)
+    tile_sel = jnp.dot(onehot, bank, preferred_element_type=jnp.float32)
+
+    @pl.when(j == 0)
+    def _init():
+        score_ref[...] = tile_min
+        sel_ref[...] = tile_sel
+
+    @pl.when(j > 0)
+    def _merge():
+        better = tile_min < score_ref[...]  # strict: earlier tile wins ties
+        score_ref[...] = jnp.where(better, tile_min, score_ref[...])
+        sel_ref[...] = jnp.where(better, tile_sel, sel_ref[...])
+
+    @pl.when(j == pl.num_programs(2) - 1)
+    def _emit():
+        out_ref[0] = sel_ref[...].astype(out_ref.dtype)
 
 
 def buddy_select(
@@ -80,30 +124,58 @@ def buddy_select(
     beta: float = 1.0,
     dist_norm: str = "l2",
     interpret: bool = False,
+    n_tile: int | None = None,
+    m_tile: int | None = None,
 ) -> jnp.ndarray:
     """p1, p2: (B, N, d); bank: (B, M, d) -> selected (B, N, d).
 
     Equivalent to the XLA path in losses/functions._buddy_select; gradients
-    are stopped (the selection is inherently gradient-free)."""
+    are stopped (the selection is inherently gradient-free). Default tiles
+    (1024, 1536) cover the 96px-GT training shapes in a single tile (no
+    merge overhead) and bound the VMEM working set to ~13 MB at any shape.
+    """
     p1 = jax.lax.stop_gradient(p1)
     p2 = jax.lax.stop_gradient(p2)
     bank = jax.lax.stop_gradient(bank)
     b, n, d = p1.shape
+    m = bank.shape[1]
+
+    nt = min(n, n_tile or 1024)
+    mt = min(m, m_tile or 1536)
+    n_pad = -(-n // nt) * nt
+    m_pad = -(-m // mt) * mt
+    if n_pad != n:
+        pad = [(0, 0), (0, n_pad - n), (0, 0)]
+        p1 = jnp.pad(p1, pad)
+        p2 = jnp.pad(p2, pad)
+    if m_pad != m:
+        bank = jnp.pad(bank, [(0, 0), (0, m_pad - m), (0, 0)])
 
     kernel = functools.partial(
-        _buddy_kernel, alpha=alpha, beta=beta, dist_norm=dist_norm
+        _buddy_kernel, alpha=alpha, beta=beta, dist_norm=dist_norm,
+        m_total=m, m_tile=mt,
     )
-    return pl.pallas_call(
+    out = pl.pallas_call(
         kernel,
-        grid=(b,),
+        grid=(b, n_pad // nt, m_pad // mt),
         in_specs=[
-            pl.BlockSpec((1, n, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(
-                (1, bank.shape[1], d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
-            ),
+            pl.BlockSpec((1, nt, d), lambda b_, i, j: (b_, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nt, d), lambda b_, i, j: (b_, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, mt, d), lambda b_, i, j: (b_, j, 0),
+                         memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, n, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, n, d), p1.dtype),
+        out_specs=pl.BlockSpec((1, nt, d), lambda b_, i, j: (b_, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, n_pad, d), p1.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((nt, 1), jnp.float32),
+            pltpu.VMEM((nt, d), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
         interpret=interpret,
     )(p1, p2, bank)
+    return out[:, :n]

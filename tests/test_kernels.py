@@ -22,6 +22,45 @@ def test_buddy_select_matches_xla(rng, dist_norm):
     np.testing.assert_allclose(np.asarray(got), np.asarray(golden), atol=1e-6)
 
 
+@pytest.mark.parametrize("dist_norm", ["l2", "l1"])
+@pytest.mark.parametrize(
+    "n,m,n_tile,m_tile",
+    [
+        (16, 24, 8, 8),    # even tile grid, multiple merges
+        (17, 23, 8, 8),    # padded final N and M tiles
+        (16, 24, 16, 7),   # M padding only, uneven tile
+        (5, 3, 8, 8),      # single tile larger than the problem
+    ],
+)
+def test_buddy_select_tiled_matches_xla(rng, dist_norm, n, m, n_tile, m_tile):
+    """The tiled running-argmin path == the XLA gather at every tiling,
+    including padded edge tiles (padding must never be selected)."""
+    b, d = 2, 27
+    p1 = jnp.asarray(rng.random((b, n, d), dtype=np.float32))
+    p2 = jnp.asarray(rng.random((b, n, d), dtype=np.float32))
+    bank = jnp.asarray(rng.random((b, m, d), dtype=np.float32))
+
+    golden = _buddy_select(p1, p2, bank, 1.0, 1.0, dist_norm, pallas=False)
+    got = buddy_select(p1, p2, bank, 1.0, 1.0, dist_norm, interpret=True,
+                       n_tile=n_tile, m_tile=m_tile)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(golden), atol=1e-6)
+
+
+def test_buddy_select_tiled_tie_break(rng):
+    """Duplicate bank rows straddling tile boundaries: the tiled merge must
+    keep global first-occurrence argmin semantics (strict < across tiles)."""
+    b, n, d = 1, 4, 9
+    p1 = jnp.asarray(rng.random((b, n, d), dtype=np.float32))
+    p2 = jnp.asarray(rng.random((b, n, d), dtype=np.float32))
+    # bank = the same 3 rows repeated 4x -> every argmin is a cross-tile tie
+    base = rng.random((b, 3, d), dtype=np.float32)
+    bank = jnp.asarray(np.tile(base, (1, 4, 1)))
+    golden = _buddy_select(p1, p2, bank, 1.0, 1.0, "l2", pallas=False)
+    got = buddy_select(p1, p2, bank, 1.0, 1.0, "l2", interpret=True,
+                       n_tile=4, m_tile=3)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(golden), atol=1e-6)
+
+
 def test_buddy_select_alpha_beta(rng):
     b, n, m, d = 1, 8, 12, 9
     p1 = jnp.asarray(rng.random((b, n, d), dtype=np.float32))
