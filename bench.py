@@ -275,11 +275,71 @@ def measure_e2e(stream: bool = False) -> dict:
     }
 
 
+def measure_infer() -> dict:
+    """Serving throughput: eval-mode x4 SR of 4K output (960x540 LR ->
+    3840x2160 HR), batch-1 whole-image (the reference's serving shape,
+    validate.py:73-77), bf16, single chip. Reported in HR megapixels/s.
+
+    The timing loop threads a scalar of each output back into the next
+    input (data-dependent chain — CLAUDE.md: independent dispatches get
+    pipelined by the axon tunnel); outputs stay on device, so this
+    isolates the accelerator, like the training headline.
+
+    vs_baseline anchor: the generator forward is ~0.28 MFLOP/HR pixel
+    (conv1 9x9 + 16 RCBs + upsample stack + conv3 9x9 at HR); an A100 at
+    the same generous 25% TF32 utilization used for the training compute
+    anchor gives ~39 TF/s -> ~139 MP/s."""
+    import jax
+    import jax.numpy as jnp
+
+    from srgan_st_tpu.models.generator import Generator
+
+    infer_anchor_mps = 139.0
+    config = _make_config("headline")
+    dtype = os.environ.get("BENCH_DTYPE", "bfloat16")
+    config.TPU.COMPUTE_DTYPE = dtype
+    g_model = Generator.from_config(config)
+    h, w, s = 540, 960, config.DATA.UPSCALE_FACTOR
+
+    rng = np.random.default_rng(0)
+    lr = jnp.asarray(rng.random((1, h, w, 3), np.float32))
+    variables = g_model.init(jax.random.key(0), lr[:, :24, :24], train=False)
+    variables = jax.device_put(variables)
+
+    @jax.jit
+    def step(v, x):
+        sr = g_model.apply(v, x, train=False)
+        # thread a scalar back so consecutive calls form a dependent chain
+        return x + 0.0 * jnp.mean(sr)
+
+    for _ in range(WARMUP_ITERS):
+        lr = step(variables, lr)
+    jax.block_until_ready(lr)
+    iters = 10
+    start = time.perf_counter()
+    for _ in range(iters):
+        lr = step(variables, lr)
+    jax.block_until_ready(lr)
+    elapsed = time.perf_counter() - start
+
+    mps = iters * (h * s) * (w * s) / elapsed / 1e6 / len(jax.devices())
+    return {
+        "metric": "infer_hr_megapixels_per_sec_per_chip",
+        "value": round(mps, 2),
+        "unit": (f"HR MP/s/chip (x4 SR serving, 960x540->3840x2160, "
+                 f"batch-1 whole image, eval mode, {dtype})"),
+        "vs_baseline": round(mps / infer_anchor_mps, 2),
+        "config": "infer-4k",
+    }
+
+
 def main() -> None:
     if "--only" in sys.argv:  # one named row (incl. e2e-packed/e2e-stream)
         name = sys.argv[sys.argv.index("--only") + 1]
         if name.startswith("e2e"):
             record = measure_e2e(stream=name == "e2e-stream")
+        elif name.startswith("infer"):
+            record = measure_infer()
         else:
             record = measure(name)
         print(json.dumps(record))
@@ -300,6 +360,9 @@ def main() -> None:
         record = measure_e2e(stream=stream)
         records.append(record)
         print(json.dumps(record), flush=True)
+    record = measure_infer()
+    records.append(record)
+    print(json.dumps(record), flush=True)
 
     lines = [
         "# Bench suite (TPU, single chip)",
@@ -307,7 +370,7 @@ def main() -> None:
         "Full jitted GAN chunk step (D cadence amortized), on-device",
         "degradation included. Generated by `python bench.py --suite`.",
         "",
-        "| config | patches/s/chip | vs 312/s measured A100 anchor |",
+        "| config | value | vs measured A100 anchor |",
         "|---|---|---|",
     ]
     for r in records:
