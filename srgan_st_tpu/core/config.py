@@ -198,6 +198,15 @@ class Config:
         # at the same seed (still fully deterministic).
         self.TPU.SHARD_MAP = False
         self.TPU.SHARD_MAP_AXIS = None      # set by the drivers from MESH_AXES
+        # Per-shard BatchNorm normalization stats under shard_map (torch
+        # DistributedDataParallel's default BN semantics) instead of the
+        # sync-BN default. Running stats still accumulate the global
+        # moments, so checkpoints/replication are unaffected; saves two
+        # pmean collectives per BN per step and makes the packed Pallas
+        # trunk (TPU.TRUNK_MODE="packed") eligible on multi-chip meshes.
+        # Only meaningful with TPU.SHARD_MAP; normalization numerics
+        # differ per shard from the sync-BN/GSPMD path (deterministically).
+        self.TPU.LOCAL_BN = False
         # "bfloat16" is a validated fast option: converges identically to
         # fp32 on the convergence study (PSNR 25.88 both, 60-epoch warmup)
         # since TPU fp32 convs already use bf16 MXU passes; fp32 stays the

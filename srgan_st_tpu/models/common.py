@@ -28,13 +28,28 @@ class BatchNorm(nn.Module):
     `momentum` follows the flax convention (EMA keep-rate; torch
     momentum 0.1 == flax momentum 0.9). Cross-shard stat reduction via
     `axis_name` (lax.pmean) as in flax, with n scaled by the axis size so
-    the unbiased correction reflects the GLOBAL element count."""
+    the unbiased correction reflects the GLOBAL element count.
+
+    `stats_sync` (only meaningful with an `axis_name`):
+      * "full" (default): normalization AND the running-stat EMA both use
+        the cross-shard global batch statistics — sync-BN, matching the
+        reference's single-device global-batch semantics when the batch
+        is sharded.
+      * "ema": normalization uses the PER-SHARD batch statistics (torch
+        DistributedDataParallel's default BatchNorm behaviour), while the
+        EMA still accumulates the global moments — so the replicated
+        `batch_stats` stay bit-identical across shards (and identical to
+        what "full" would have accumulated). Cuts two lax.pmean
+        collectives per BN from the train-mode forward and lets fused
+        kernels that compute stats in-VMEM (kernels/packed_trunk.py) run
+        per-shard. Selected via config.TPU.LOCAL_BN."""
 
     use_running_average: bool = False
     momentum: float = 0.9
     epsilon: float = 1e-5
     dtype: jnp.dtype | None = None
     axis_name: str | None = None
+    stats_sync: str = "full"
 
     @nn.compact
     def __call__(self, x):
@@ -56,16 +71,23 @@ class BatchNorm(nn.Module):
             mean = jnp.mean(xf, reduce_axes)
             mean2 = jnp.mean(jnp.square(xf), reduce_axes)
             n = x.size // c
+            g_mean, g_mean2, g_n = mean, mean2, n
             if self.axis_name is not None:
-                mean, mean2 = lax.pmean((mean, mean2), self.axis_name)
-                n = n * lax.axis_size(self.axis_name)
+                g_mean, g_mean2 = lax.pmean((mean, mean2), self.axis_name)
+                g_n = n * lax.axis_size(self.axis_name)
+                if self.stats_sync == "full":
+                    mean, mean2, n = g_mean, g_mean2, g_n
             var = jnp.maximum(mean2 - jnp.square(mean), 0.0)
             if not self.is_initializing():
                 m = self.momentum
-                ra_mean.value = m * ra_mean.value + (1.0 - m) * mean
+                # the EMA always accumulates the GLOBAL moments, so with
+                # stats_sync="ema" the replicated running stats still agree
+                # across shards (and with the "full" path)
+                g_var = jnp.maximum(g_mean2 - jnp.square(g_mean), 0.0)
+                ra_mean.value = m * ra_mean.value + (1.0 - m) * g_mean
                 # torch stores the UNBIASED batch variance in the EMA
-                ra_var.value = m * ra_var.value + (1.0 - m) * var * (
-                    n / max(n - 1, 1)
+                ra_var.value = m * ra_var.value + (1.0 - m) * g_var * (
+                    g_n / max(g_n - 1, 1)
                 )
 
         dtype = self.dtype or x.dtype

@@ -28,6 +28,9 @@ class Discriminator(nn.Module):
     out_channels: int = 1
     dtype: jnp.dtype = jnp.float32
     axis_name: str | None = None
+    # per-shard BN normalization stats (torch-DDP default semantics; see
+    # common.BatchNorm stats_sync / config.TPU.LOCAL_BN)
+    local_bn: bool = False
 
     @classmethod
     def from_config(cls, config, dtype=None, axis_name=None):
@@ -37,6 +40,7 @@ class Discriminator(nn.Module):
             out_channels=config.MODEL.D_OUT_CHANNEL,
             dtype=dtype or jnp.dtype(config.TPU.COMPUTE_DTYPE),
             axis_name=axis_name,
+            local_bn=bool(getattr(config.TPU, "LOCAL_BN", False)),
         )
 
     @nn.compact
@@ -61,7 +65,7 @@ class Discriminator(nn.Module):
             return BatchNorm(
                 use_running_average=not train, momentum=0.9, epsilon=1e-5,
                 dtype=self.dtype, axis_name=self.axis_name if train else None,
-                name=name,
+                stats_sync="ema" if self.local_bn else "full", name=name,
             )(z)
 
         # features (reference model.py:30-59): (3)x96x96 -> (512)x6x6.

@@ -37,6 +37,7 @@ class ResidualConvBlock(nn.Module):
     channels: int
     dtype: jnp.dtype = jnp.float32
     axis_name: str | None = None
+    local_bn: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = True):
@@ -47,7 +48,8 @@ class ResidualConvBlock(nn.Module):
         )
         bn = lambda name: BatchNorm(  # noqa: E731
             use_running_average=not train, momentum=0.9, epsilon=1e-5,
-            dtype=self.dtype, axis_name=self.axis_name if train else None, name=name,
+            dtype=self.dtype, axis_name=self.axis_name if train else None,
+            stats_sync="ema" if self.local_bn else "full", name=name,
         )
         x = conv("conv1")(x)
         x = bn("bn1")(x)
@@ -94,6 +96,11 @@ class Generator(nn.Module):
     upscale: int = 4
     dtype: jnp.dtype = jnp.float32
     axis_name: str | None = None
+    # per-shard BN normalization stats under shard_map (torch-DDP default
+    # semantics; running stats still accumulate global moments — see
+    # common.BatchNorm stats_sync). Required for the packed trunk kernel
+    # on multi-chip meshes. config.TPU.LOCAL_BN.
+    local_bn: bool = False
     remat: bool = False
     conv3_mode: str | None = None  # None=fused, "s2d", "xla"
     # inner s2d factoring of the fused coarse conv: None (default) =
@@ -120,22 +127,28 @@ class Generator(nn.Module):
             upscale=config.DATA.UPSCALE_FACTOR,
             dtype=dtype or jnp.dtype(config.TPU.COMPUTE_DTYPE),
             axis_name=axis_name,
+            local_bn=bool(getattr(config.TPU, "LOCAL_BN", False)),
             remat=config.TPU.REMAT,
             trunk_mode=getattr(config.TPU, "TRUNK_MODE", None),
         )
 
     def _packed_ok(self, x) -> bool:
         """Semantics gate for the lane-packed trunk (kernels/
-        packed_trunk.py): bf16 train steps, per-call batch stats (sync-BN
-        under an axis_name needs the unfused path's cross-shard mean),
-        single device (Pallas custom calls are opaque to GSPMD sharding
-        propagation), even fine width, C a multiple of 64 (full lane
+        packed_trunk.py): bf16 train steps; per-shard batch stats — i.e.
+        single device, or the explicit-SPMD shard_map path with LOCAL_BN
+        (the kernel normalizes with stats it computes in-VMEM; sync-BN
+        needs the unfused path's cross-shard mean). GSPMD multi-chip is
+        excluded: Pallas custom calls are opaque to sharding propagation.
+        Plus shape gates: even fine width, C a multiple of 64 (full lane
         packing), and a VMEM-sized activation block."""
         import jax
 
-        if self.dtype != jnp.bfloat16 or self.axis_name is not None:
+        if self.dtype != jnp.bfloat16:
             return False
-        if jax.device_count() != 1:
+        if self.axis_name is not None:
+            if not self.local_bn:
+                return False  # sync-BN semantics need the unfused path
+        elif jax.device_count() != 1:
             return False
         b, h, w, c = x.shape
         if w % 2 or c % 64 or c < 64:
@@ -176,7 +189,7 @@ class Generator(nn.Module):
             for i in range(self.num_rcb):
                 x = block(
                     self.channels, dtype=self.dtype, axis_name=self.axis_name,
-                    name=f"rcb{i}",
+                    local_bn=self.local_bn, name=f"rcb{i}",
                 )(x, train)
             return x
 
@@ -204,6 +217,22 @@ class Generator(nn.Module):
         # batch variance; stats (N, 4, C) = [m1, v1, m2, v2] per block
         if train and self.is_mutable_collection("batch_stats"):
             nelem = x.size // x.shape[-1]
+            if self.axis_name is not None:
+                # packed under shard_map (LOCAL_BN): normalization used the
+                # per-shard stats the kernel computed, but the EMA
+                # accumulates GLOBAL moments (common.BatchNorm
+                # stats_sync="ema") so replicated batch_stats stay
+                # identical across shards
+                from jax import lax
+
+                means = stats[:, (0, 2)]
+                gm = lax.pmean(means, self.axis_name)
+                gm2 = lax.pmean(stats[:, (1, 3)] + means * means, self.axis_name)
+                gv = jnp.maximum(gm2 - gm * gm, 0.0)
+                stats = jnp.stack(
+                    [gm[:, 0], gv[:, 0], gm[:, 1], gv[:, 1]], axis=1
+                )
+                nelem = nelem * lax.axis_size(self.axis_name)
             corr = nelem / max(nelem - 1, 1)
             m = 0.9
             for i in range(self.num_rcb):
@@ -243,7 +272,7 @@ class Generator(nn.Module):
         x = BatchNorm(
             use_running_average=not train, momentum=0.9, epsilon=1e-5,
             dtype=self.dtype, axis_name=self.axis_name if train else None,
-            name="bn2",
+            stats_sync="ema" if self.local_bn else "full", name="bn2",
         )(x)
         x = x + conv1
 

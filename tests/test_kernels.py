@@ -334,3 +334,54 @@ class TestPackedTrunk:
         out_un, _ = g_un.apply(v, lr, train=True, mutable=["batch_stats"])
         out_pk, _ = g_pk.apply(v, lr, train=True, mutable=["batch_stats"])
         np.testing.assert_array_equal(np.asarray(out_un), np.asarray(out_pk))
+
+    def test_packed_gate_shard_map_local_bn(self):
+        """The semantics gate: shard_map (axis_name) + LOCAL_BN makes the
+        packed trunk eligible; sync-BN or GSPMD multi-chip does not."""
+        from srgan_st_tpu.models.generator import Generator
+
+        x = jnp.zeros((2, 24, 24, 64), jnp.bfloat16)
+        ok = Generator(dtype=jnp.bfloat16, axis_name="data", local_bn=True)
+        assert ok._packed_ok(x)
+        sync_bn = Generator(dtype=jnp.bfloat16, axis_name="data")
+        assert not sync_bn._packed_ok(x)
+        gspmd = Generator(dtype=jnp.bfloat16)  # 8-device CPU, no axis_name
+        assert not gspmd._packed_ok(x)
+
+    def test_packed_shard_map_local_bn_matches_unfused(self, rng):
+        """Under the explicit-SPMD path with LOCAL_BN the packed trunk must
+        match the unfused local-BN path per shard — normalization with the
+        per-shard stats the kernel computes in-VMEM, and the pmean'd
+        global-moment running-stat EMA (generator.py _trunk)."""
+        from jax.sharding import PartitionSpec as P
+
+        from srgan_st_tpu.models.generator import Generator
+        from srgan_st_tpu.parallel.mesh import make_mesh, shard_map_step
+
+        mesh = make_mesh()
+        lr = jnp.asarray(rng.random((16, 8, 8, 3), np.float32))
+
+        def run(trunk_mode):
+            g = Generator(channels=32, num_rcb=2, upscale=4,
+                          axis_name="data", local_bn=True,
+                          trunk_mode=trunk_mode)
+            v = g.init(jax.random.key(0), lr[:1], train=False)
+
+            def f(x):
+                return g.apply(v, x, train=True, mutable=["batch_stats"])
+
+            y, mut = jax.jit(
+                shard_map_step(f, mesh, in_specs=P("data"),
+                               out_specs=(P("data"), P()))
+            )(lr)
+            return np.asarray(y, np.float32), mut
+
+        y_un, mut_un = run("unfused")
+        y_pk, mut_pk = run("packed_interpret")
+        np.testing.assert_allclose(y_pk, y_un, atol=1e-5)
+        assert (jax.tree_util.tree_structure(mut_un)
+                == jax.tree_util.tree_structure(mut_pk))
+        for a, b in zip(jax.tree_util.tree_leaves(mut_un),
+                        jax.tree_util.tree_leaves(mut_pk)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-5, rtol=1e-5)

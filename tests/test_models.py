@@ -104,3 +104,53 @@ class TestPixelShuffle:
         golden = torch.nn.functional.pixel_shuffle(torch.from_numpy(x), 2).numpy()
         got = np.asarray(pixel_shuffle(jnp.asarray(x.transpose(0, 2, 3, 1)), 2))
         np.testing.assert_array_equal(got.transpose(0, 3, 1, 2), golden)
+
+
+class TestLocalBN:
+    """common.BatchNorm stats_sync="ema" (config.TPU.LOCAL_BN): per-shard
+    normalization statistics (torch DistributedDataParallel's default BN
+    behaviour), while the running-stat EMA accumulates the cross-shard
+    GLOBAL moments — so replicated batch_stats stay identical across
+    shards and identical to what sync-BN would have stored."""
+
+    def test_per_shard_normalize_global_ema(self, rng):
+        from jax.sharding import PartitionSpec as P
+
+        from srgan_st_tpu.models.common import BatchNorm
+        from srgan_st_tpu.parallel.mesh import make_mesh, shard_map_step
+
+        mesh = make_mesh()
+        x = jnp.asarray(rng.standard_normal((16, 4, 4, 5)), jnp.float32)
+
+        plain = BatchNorm()  # no axis: the purely local reference
+        v = plain.init(jax.random.key(0), x[:2])
+
+        def run(stats_sync):
+            mod = BatchNorm(axis_name="data", stats_sync=stats_sync)
+
+            def f(xs):
+                return mod.apply(v, xs, mutable=["batch_stats"])
+
+            return jax.jit(
+                shard_map_step(f, mesh, in_specs=P("data"),
+                               out_specs=(P("data"), P()))
+            )(x)
+
+        y_local, mut_local = run("ema")
+        y_sync, mut_sync = run("full")
+
+        # both modes accumulate the same GLOBAL moments into the EMA
+        for a, b in zip(jax.tree.leaves(mut_local), jax.tree.leaves(mut_sync)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
+
+        # normalization is per-shard: every shard equals the no-axis
+        # BatchNorm applied to that shard's slice alone
+        y_local = np.asarray(y_local)
+        for i in range(8):
+            sl = x[2 * i:2 * i + 2]
+            y_ref, _ = plain.apply(v, sl, mutable=["batch_stats"])
+            np.testing.assert_allclose(
+                y_local[2 * i:2 * i + 2], np.asarray(y_ref), atol=1e-6
+            )
+        # and it genuinely differs from the sync-BN normalization
+        assert float(np.abs(y_local - np.asarray(y_sync)).max()) > 1e-4
