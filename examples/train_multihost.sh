@@ -24,7 +24,15 @@
 #   config.DATA.TRAIN_GT_IMAGES_DIR = "data/train"   # shared filesystem
 #   config.DATA.BATCH_SIZE = 16 * <total chips>      # global batch
 #   config.TPU.SHARD_MAP = True                       # explicit-SPMD path
-#   train(config)
+#   config.TPU.LOCAL_BN = True                        # per-shard BN stats
+#   config.TPU.COMPUTE_DTYPE = "bfloat16"             # (torch-DDP default
+#   config.TPU.TRUNK_MODE = "packed"                  #  semantics) enables
+#   train(config)                                     #  the packed trunk
+#
+# The last three lines are the peak-throughput recipe: LOCAL_BN drops two
+# cross-chip pmeans per BatchNorm per step and makes the lane-packed
+# Pallas trunk kernel eligible on the mesh (sync-BN, the default, keeps
+# strict single-device-reference normalization semantics instead).
 #
 # Only process 0 writes checkpoints and TensorBoard events; all
 # processes must see the same config and data. Under a scheduler
