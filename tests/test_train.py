@@ -268,6 +268,74 @@ class TestSharding:
         # sync-BN: pmean'd per-shard stats == global batch stats
         np.testing.assert_allclose(results[True][2], results[False][2], atol=1e-6)
 
+    def test_gan_chunk_local_bn_packed_shard_map(self, tmp_path):
+        """The peak-throughput multi-chip recipe end-to-end: shard_map GAN
+        chunk step with TPU.LOCAL_BN (per-shard BN stats in G AND D) and
+        the packed trunk (interpret on CPU). Finite losses, replicated
+        state, and the batch_stats tree updated in both models."""
+        from srgan_st_tpu.losses.registry import build_criterions
+        from srgan_st_tpu.models.discriminator import Discriminator
+        from srgan_st_tpu.models.generator import Generator
+        from srgan_st_tpu.parallel.mesh import (
+            make_mesh,
+            replicated,
+            shard_chunk,
+            shard_map_gan_chunk,
+        )
+        from srgan_st_tpu.train.steps import (
+            create_gan_state,
+            make_d_optimizer,
+            make_g_optimizer,
+            make_gan_chunk_step,
+        )
+
+        config = tiny_config(tmp_path, "localbn", gt_size=96, batch=8)
+        config.TPU.SHARD_MAP = True
+        config.TPU.SHARD_MAP_AXIS = "data"
+        config.TPU.LOCAL_BN = True
+        config.TPU.TRUNK_MODE = "packed_interpret"
+        config.add_g_criterion("Pixel", {"kind": "pixel"}, 1.0)
+        mesh = make_mesh(config)
+        g_model = Generator.from_config(config, axis_name="data")
+        d_model = Discriminator.from_config(config, axis_name="data")
+        assert g_model.local_bn and d_model.local_bn  # from_config wiring
+        g_tx = make_g_optimizer(config, 4, milestones=False)
+        d_tx = make_d_optimizer(config, 4)
+        state = jax.device_put(
+            create_gan_state(config, g_model, d_model, g_tx, d_tx),
+            replicated(mesh),
+        )
+        stats_before = jax.tree_util.tree_leaves(
+            jax.tree_util.tree_map(np.asarray, (state.g_stats, state.d_stats))
+        )
+        chunk_fn = jax.jit(
+            shard_map_gan_chunk(
+                make_gan_chunk_step(
+                    config, g_model, d_model, build_criterions(config),
+                    g_tx, d_tx,
+                ),
+                mesh, "data",
+            ),
+            static_argnums=2,
+        )
+        chunk = shard_chunk(
+            np.random.default_rng(0).integers(
+                0, 256, (2, config.DATA.BATCH_SIZE, 96, 96, 3), np.uint8
+            ),
+            mesh,
+        )
+        state, metrics = chunk_fn(state, chunk, True)
+        assert np.isfinite(float(metrics["G_Loss"]))
+        assert np.isfinite(float(metrics["D_Loss"]))
+        leaf = state.g_params["conv1"]["kernel"]
+        assert len(leaf.sharding.device_set) == 8
+        stats_after = jax.tree_util.tree_leaves(
+            jax.tree_util.tree_map(np.asarray, (state.g_stats, state.d_stats))
+        )
+        assert any(
+            not np.allclose(a, b) for a, b in zip(stats_before, stats_after)
+        )
+
     def test_gan_dryrun_multichip(self):
         """The full multi-chip GAN dry run (the driver's entry) on the
         8-device CPU mesh: sharded batch, replicated state, G+D updates."""
