@@ -88,3 +88,68 @@ def test_identity_generator_gives_inf_psnr(tmp_path, image_pairs):
     psnr, ssim = validate(lambda lr: next(gts), pairs, config)
     assert psnr == float("inf")
     assert ssim == pytest.approx(1.0)
+
+
+class TestInferCLI:
+    """eval/infer.py: the GT-free serving CLI (single image or folder,
+    baseline substitution, odd-size padding, tiled mode)."""
+
+    @pytest.fixture
+    def photos(self, tmp_path, rng):
+        from PIL import Image
+
+        d = tmp_path / "photos"
+        d.mkdir()
+        # odd dimensions on purpose: exercises the even-pad + exact crop
+        for i, (h, w) in enumerate([(13, 17), (16, 20)]):
+            img = (rng.random((h, w, 3)) * 255).astype(np.uint8)
+            Image.fromarray(img).save(d / f"p{i}.png")
+        return str(d)
+
+    def test_bicubic_folder(self, tmp_path, photos):
+        from PIL import Image
+
+        from srgan_st_tpu.eval.infer import main
+
+        out = str(tmp_path / "up")
+        main(["--input", photos, "--output", out,
+              "--exp_name", "bicubic", "--upscale", "4"])
+        a = np.asarray(Image.open(os.path.join(out, "p0_x4.png")))
+        b = np.asarray(Image.open(os.path.join(out, "p1_x4.png")))
+        assert a.shape == (52, 68, 3)
+        assert b.shape == (64, 80, 3)
+
+    def test_generator_weights_single_image(self, tmp_path, photos):
+        from PIL import Image
+
+        from srgan_st_tpu.eval.infer import main
+        from srgan_st_tpu.models.generator import Generator
+        from srgan_st_tpu.train.checkpoint import save_variables_npz
+
+        import jax
+
+        config = Config()
+        config.MODEL.G_N_RCB = 1
+        config.MODEL.G_N_CHANNEL = 8
+        g = Generator.from_config(config)
+        v = g.init(jax.random.key(0), jnp.zeros((1, 8, 8, 3)), train=False)
+        gpath = str(tmp_path / "g.npz")
+        save_variables_npz(gpath, v)
+
+        out = str(tmp_path / "up1")
+        import srgan_st_tpu.eval.infer as infer_mod
+
+        def small_infer_fn(cfg, gpath=None):
+            cfg.MODEL.G_N_RCB = 1
+            cfg.MODEL.G_N_CHANNEL = 8
+            return orig(cfg, gpath=gpath)
+
+        orig = infer_mod.make_infer_fn
+        infer_mod.make_infer_fn = small_infer_fn
+        try:
+            main(["--input", os.path.join(photos, "p0.png"),
+                  "--output", out, "--gpath", gpath, "--upscale", "4"])
+        finally:
+            infer_mod.make_infer_fn = orig
+        sr = np.asarray(Image.open(os.path.join(out, "p0_x4.png")))
+        assert sr.shape == (52, 68, 3)
