@@ -41,6 +41,10 @@ def run_and_trace(name: str, k: int = 8, with_d: bool = False):
     config = _make_config(name)
     config.TPU.COMPUTE_DTYPE = "bfloat16"
     config.DATA.BATCH_SIZE = 16
+    # same trunk-path A/B knob as bench.py (None = auto)
+    import os
+
+    config.TPU.TRUNK_MODE = os.environ.get("BENCH_TRUNK") or None
     mesh = make_mesh(config)
     g_model = Generator.from_config(config)
     d_model = Discriminator.from_config(config)
