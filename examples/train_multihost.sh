@@ -29,10 +29,12 @@
 #   config.TPU.TRUNK_MODE = "packed"                  #  semantics) enables
 #   train(config)                                     #  the packed trunk
 #
-# The last three lines are the peak-throughput recipe: LOCAL_BN drops two
-# cross-chip pmeans per BatchNorm per step and makes the lane-packed
-# Pallas trunk kernel eligible on the mesh (sync-BN, the default, keeps
-# strict single-device-reference normalization semantics instead).
+# The last three lines are the peak-throughput recipe: LOCAL_BN moves the
+# per-BatchNorm pmeans off the differentiated path (no backward
+# collectives; the forward pmeans only feed the running-stat EMA and can
+# overlap compute) and makes the lane-packed Pallas trunk kernel eligible
+# on the mesh (sync-BN, the default, keeps strict single-device-reference
+# normalization semantics instead).
 #
 # Only process 0 writes checkpoints and TensorBoard events; all
 # processes must see the same config and data. Under a scheduler

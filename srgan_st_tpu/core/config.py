@@ -201,9 +201,11 @@ class Config:
         # Per-shard BatchNorm normalization stats under shard_map (torch
         # DistributedDataParallel's default BN semantics) instead of the
         # sync-BN default. Running stats still accumulate the global
-        # moments, so checkpoints/replication are unaffected; saves two
-        # pmean collectives per BN per step and makes the packed Pallas
-        # trunk (TPU.TRUNK_MODE="packed") eligible on multi-chip meshes.
+        # moments, so checkpoints/replication are unaffected; the BN
+        # pmeans move off the differentiated path (no backward collectives,
+        # forward pmeans only feed the EMA and can overlap compute) and the
+        # packed Pallas trunk (TPU.TRUNK_MODE="packed") becomes eligible
+        # on multi-chip meshes.
         # Only meaningful with TPU.SHARD_MAP; normalization numerics
         # differ per shard from the sync-BN/GSPMD path (deterministically).
         self.TPU.LOCAL_BN = False

@@ -67,6 +67,21 @@ def _decode_rgb(path: str) -> np.ndarray:
         return np.asarray(im.convert("RGB"), dtype=np.uint8)
 
 
+def _put_or_stop(q: queue.Queue, item, stop: threading.Event) -> bool:
+    """Blocking q.put that gives up once `stop` is set. A plain q.put
+    would block forever on a full queue after the consumer abandoned the
+    generator (close()/exception mid-epoch): the producer only re-checks
+    `stop` at the loop top, so the finally-block's stop.set() could never
+    unblock it, leaking the thread and the chunk buffers it holds."""
+    while not stop.is_set():
+        try:
+            q.put(item, timeout=0.2)
+            return True
+        except queue.Full:
+            continue
+    return False
+
+
 class TrainPatchSource:
     """Streams shuffled uint8 NHWC GT-patch batches from a directory of
     pre-tiled HR patches (the output of prepare_dataset.py)."""
@@ -132,10 +147,12 @@ class TrainPatchSource:
                         return
                     idx = order[b * self.batch_size:(b + 1) * self.batch_size]
                     idx = idx[self._pslice.get()]  # this process's share
-                    q.put(self._load_batch([self.files[i] for i in idx]))
-                q.put(None)
+                    batch = self._load_batch([self.files[i] for i in idx])
+                    if not _put_or_stop(q, batch, stop):
+                        return
+                _put_or_stop(q, None, stop)
             except Exception as e:  # propagate decode errors to the consumer
-                q.put(e)
+                _put_or_stop(q, e, stop)
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()
@@ -239,12 +256,14 @@ class PackedPatchSource:
                     idx = np.sort(
                         order[b * self.batch_size:(b + 1) * self.batch_size]
                     )
-                    q.put(np.ascontiguousarray(
+                    batch = np.ascontiguousarray(
                         self.pack[idx[self._pslice.get()]]
-                    ))
-                q.put(None)
+                    )
+                    if not _put_or_stop(q, batch, stop):
+                        return
+                _put_or_stop(q, None, stop)
             except Exception as e:  # propagate IO errors to the consumer
-                q.put(e)
+                _put_or_stop(q, e, stop)
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()
@@ -293,10 +312,13 @@ class PackedPatchSource:
                     chunk = self.pack[idx.reshape(-1)].reshape(
                         k, idx.shape[1], *self.pack.shape[1:]
                     )
-                    q.put(put(chunk) if put is not None else chunk)
-                q.put(None)
+                    if not _put_or_stop(
+                        q, put(chunk) if put is not None else chunk, stop
+                    ):
+                        return
+                _put_or_stop(q, None, stop)
             except Exception as e:  # propagate IO errors to the consumer
-                q.put(e)
+                _put_or_stop(q, e, stop)
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()

@@ -39,9 +39,13 @@ class BatchNorm(nn.Module):
         DistributedDataParallel's default BatchNorm behaviour), while the
         EMA still accumulates the global moments — so the replicated
         `batch_stats` stay bit-identical across shards (and identical to
-        what "full" would have accumulated). Cuts two lax.pmean
-        collectives per BN from the train-mode forward and lets fused
-        kernels that compute stats in-VMEM (kernels/packed_trunk.py) run
+        what "full" would have accumulated). The two lax.pmean
+        collectives still run each train-mode forward (the EMA consumes
+        the global moments), but they move OFF the differentiated path:
+        the normalization no longer depends on them, so the backward
+        carries no BN collectives and the forward pmeans can overlap
+        compute instead of serializing it. It also lets fused kernels
+        that compute stats in-VMEM (kernels/packed_trunk.py) run
         per-shard. Selected via config.TPU.LOCAL_BN."""
 
     use_running_average: bool = False
@@ -53,6 +57,11 @@ class BatchNorm(nn.Module):
 
     @nn.compact
     def __call__(self, x):
+        if self.stats_sync not in ("full", "ema"):
+            raise ValueError(
+                f"stats_sync={self.stats_sync!r}: expected 'full' (sync-BN) "
+                "or 'ema' (per-shard normalization, global-moment EMA)"
+            )
         c = x.shape[-1]
         ra_mean = self.variable(
             "batch_stats", "mean", lambda: jnp.zeros((c,), jnp.float32)

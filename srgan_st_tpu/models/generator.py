@@ -179,6 +179,19 @@ class Generator(nn.Module):
         per-RCB subtrees directly via the module scope)."""
         # eval always runs unfused: the kernel has no running-average mode
         mode = self._trunk_mode(train, x) if train else "unfused"
+        if mode != "unfused" and self.axis_name is not None and not self.local_bn:
+            # both Pallas trunks compute BN stats in-VMEM (per shard);
+            # under shard_map with sync-BN that silently changes the
+            # normalization semantics. Auto falls back; an explicitly
+            # forced kernel mode is an error rather than a silent change.
+            if self.trunk_mode is not None:
+                raise ValueError(
+                    f"trunk_mode={mode!r} computes per-shard batch stats "
+                    "in-kernel; with an axis_name it requires "
+                    "TPU.LOCAL_BN=True (per-shard normalization, "
+                    "global-moment EMA) or trunk_mode='unfused'"
+                )
+            mode = "unfused"
         if mode == "packed" and not self._packed_ok(x):
             mode = "unfused"  # out-of-gate shapes/meshes fall back safely
         rcb0 = self.scope.get_variable("params", "rcb0")

@@ -192,10 +192,13 @@ def make_vgg19_frozen_pair(variables: dict, taps: tuple[str, ...], dtype):
     def pair_fwd(sr_n, gt_n):
         x = jnp.concatenate([sr_n, gt_n], axis=0).astype(dtype)
         feats_sr, feats_gt, res = _run(x, sr_n.shape[0])
-        return (feats_sr, feats_gt), (res, sr_n)
+        # gt_n is carried only for its shape/dtype (the zero cotangent
+        # below); its value is unused, so XLA dead-code-eliminates the
+        # buffer — no extra residual memory
+        return (feats_sr, feats_gt), (res, sr_n, gt_n)
 
     def pair_bwd(residuals, cts):
-        res, sr_n = residuals
+        res, sr_n, gt_n = residuals
         ct_sr, _ct_gt_ignored = cts  # frozen-pair contract: gt carries none
         plan = [(idx, kind) for idx, kind, _ in _torch_indices()
                 if idx <= deepest]
@@ -221,7 +224,7 @@ def make_vgg19_frozen_pair(variables: dict, taps: tuple[str, ...], dtype):
                     )
                     (ct,) = pvjp(ct)
         dsr = ct.astype(sr_n.dtype)
-        return dsr, jnp.zeros_like(sr_n)
+        return dsr, jnp.zeros_like(gt_n)
 
     pair.defvjp(pair_fwd, pair_bwd)
     return pair

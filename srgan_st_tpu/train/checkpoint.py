@@ -68,7 +68,17 @@ def load_pytree_npz(path: str, target: Any) -> Any:
         key = jax.tree_util.keystr(p)
         if key not in flat:
             raise KeyError(f"checkpoint {path} missing leaf {key}")
-        leaves.append(flat[key].astype(np.asarray(old).dtype))
+        old = np.asarray(old)
+        if flat[key].shape != old.shape:
+            # same tree, different hyperparameters (e.g. G_N_CHANNEL
+            # changed under the same EXP.NAME): raise here so
+            # restore_latest skips the checkpoint with a warning instead
+            # of letting the jitted step fail with an opaque shape error
+            raise ValueError(
+                f"checkpoint {path} leaf {key} has shape "
+                f"{flat[key].shape}, target expects {old.shape}"
+            )
+        leaves.append(flat[key].astype(old.dtype))
     return jax.tree_util.tree_unflatten(treedef, leaves)
 
 

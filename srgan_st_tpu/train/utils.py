@@ -35,12 +35,17 @@ def iter_chunks(source, epoch_idx: int, chunk_size: int, put=None,
        device-ready chunks.
     3. Fallback: consumer-side stacking + put.
 
-    `put` defaults to sharding over `mesh` when a mesh is given."""
+    `put` defaults to sharding over `mesh` when a mesh is given. A
+    caller-supplied `put` (a host-side transform) disables the
+    device-cache fast path — on-device gathers never materialize a host
+    chunk for `put` to see, so silently skipping it would be wrong."""
+    custom_put = put is not None
     if mesh is not None and put is None:
         from srgan_st_tpu.parallel.mesh import shard_chunk
 
         put = lambda c: shard_chunk(c, mesh)  # noqa: E731
-    if mesh is not None and getattr(source, "device_cache", False):
+    if (mesh is not None and not custom_put
+            and getattr(source, "device_cache", False)):
         yield from source.epoch_chunks_device(epoch_idx, chunk_size, mesh)
         return
     if hasattr(source, "epoch_chunks"):

@@ -106,6 +106,53 @@ class TestSources:
         assert all(t[0] == "put" for t in tagged)
         np.testing.assert_array_equal(tagged[0][1], ref[0])
 
+    def test_abandoned_epoch_unblocks_producer(self, tmp_path, rng):
+        """Abandoning an epoch iterator mid-stream (close / exception)
+        must let the producer thread exit instead of leaving it blocked
+        forever in q.put on a full prefetch queue (leaking the thread and
+        the chunk buffers it holds)."""
+        import threading
+        import time
+
+        pack = tmp_path / "patches.pack.npy"
+        np.save(pack, rng.integers(0, 256, (64, 8, 8, 3), np.uint8))
+
+        def assert_threads_drain(make_iter):
+            before = threading.active_count()
+            it = make_iter()
+            next(it)  # producer alive, prefetch queue full behind us
+            it.close()
+            deadline = time.monotonic() + 5.0
+            while threading.active_count() > before:
+                if time.monotonic() > deadline:
+                    raise AssertionError(
+                        f"producer thread leaked: {threading.active_count()} "
+                        f"threads alive vs {before} before"
+                    )
+                time.sleep(0.05)
+
+        src = PackedPatchSource(str(pack), batch_size=4, seed=0, prefetch=1)
+        assert_threads_drain(lambda: src.epoch(0))
+        assert_threads_drain(lambda: src.epoch_chunks(0, 2))
+
+    def test_iter_chunks_custom_put_with_device_cache(self, tmp_path, rng):
+        """A caller-supplied host-side `put` must be honored even when the
+        source has device_cache on: the on-device gather path never
+        materializes a host chunk, so iter_chunks must take the host path
+        instead of silently dropping the transform."""
+        from srgan_st_tpu.parallel.mesh import make_mesh
+        from srgan_st_tpu.train.utils import iter_chunks
+
+        pack = tmp_path / "patches.pack.npy"
+        np.save(pack, rng.integers(0, 256, (44, 8, 8, 3), np.uint8))
+        src = PackedPatchSource(str(pack), batch_size=8, seed=3,
+                                device_cache=True)
+        assert src.device_cache
+        tagged = list(iter_chunks(src, 5, 2, put=lambda ch: ("put", ch),
+                                  mesh=make_mesh()))
+        assert all(t[0] == "put" for t in tagged)
+        assert isinstance(tagged[0][1], np.ndarray)
+
     def test_epoch_chunks_device_matches_host(self, tmp_path, rng):
         """HBM-resident gathers (epoch_chunks_device) must yield the exact
         batch composition of the host path — device_cache changes WHERE the

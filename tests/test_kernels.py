@@ -348,6 +348,36 @@ class TestPackedTrunk:
         gspmd = Generator(dtype=jnp.bfloat16)  # 8-device CPU, no axis_name
         assert not gspmd._packed_ok(x)
 
+    def test_forced_kernel_mode_syncbn_raises(self, rng):
+        """An explicitly forced Pallas trunk mode under an axis_name with
+        sync-BN must raise at trace time: both kernels compute per-shard
+        stats in-VMEM, which would silently change the promised sync-BN
+        normalization semantics. (Auto mode falls back instead — covered
+        by test_packed_gate_shard_map_local_bn.)"""
+        import pytest
+
+        from srgan_st_tpu.models.generator import Generator
+
+        lr = jnp.asarray(rng.random((2, 8, 8, 3), np.float32))
+        for mode in ("packed_interpret", "fused_interpret"):
+            g = Generator(channels=32, num_rcb=2, upscale=4,
+                          axis_name="data", local_bn=False, trunk_mode=mode)
+            v = g.init(jax.random.key(0), lr[:1], train=False)
+            with pytest.raises(ValueError, match="per-shard batch stats"):
+                g.apply(v, lr, train=True, mutable=["batch_stats"])
+
+    def test_batchnorm_stats_sync_validated(self):
+        """Unknown stats_sync values must error, not silently behave as
+        'ema' (per-shard normalization) — a typo would otherwise change
+        training numerics with no diagnostic."""
+        import pytest
+
+        from srgan_st_tpu.models.common import BatchNorm
+
+        bn = BatchNorm(stats_sync="sync")
+        with pytest.raises(ValueError, match="stats_sync"):
+            bn.init(jax.random.key(0), jnp.zeros((2, 4, 4, 8)))
+
     def test_packed_shard_map_local_bn_matches_unfused(self, rng):
         """Under the explicit-SPMD path with LOCAL_BN the packed trunk must
         match the unfused local-BN path per shard — normalization with the

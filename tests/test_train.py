@@ -494,6 +494,32 @@ class TestChunkCadence:
         gan_state = create_gan_state(config, g_model, d_model, g_tx, d_tx)
         assert policy.restore_latest(gan_state) is None
 
+    def test_shape_mismatched_last_checkpoint_skipped(self, tmp_path):
+        """Same tree structure, different leaf shapes (e.g. G_N_CHANNEL
+        changed under the same EXP.NAME): restore_latest must skip with a
+        warning, not hand wrong-shaped arrays to the jitted step (where
+        they would surface as an opaque XLA error)."""
+        from srgan_st_tpu.models.generator import Generator
+        from srgan_st_tpu.train.checkpoint import CheckpointPolicy
+        from srgan_st_tpu.train.steps import (
+            create_generator_state,
+            make_g_optimizer,
+        )
+
+        config = tiny_config(tmp_path, "resize", gt_size=96)
+        g_tx = make_g_optimizer(config, 4)
+        state16 = create_generator_state(
+            config, Generator.from_config(config), g_tx
+        )
+        policy = CheckpointPolicy(str(tmp_path / "res"), interval=100)
+        policy.save_epoch(state16, 0, 20.0, 0.5)
+
+        config.MODEL.G_N_CHANNEL = 32  # relaunch with a wider generator
+        state32 = create_generator_state(
+            config, Generator.from_config(config), g_tx
+        )
+        assert policy.restore_latest(state32) is None
+
     def test_augment_changes_training_batch(self, tmp_path):
         import jax.numpy as jnp
 
