@@ -33,6 +33,18 @@ import jax.numpy as jnp
 from jax import lax
 
 
+def _concrete_pred(pred_thunk) -> bool:
+    """Evaluate a shape-arithmetic gate predicate. Symbolic dimensions
+    (jax.export shape polymorphism) make such comparisons inconclusive —
+    treat that as False so gated fast paths (Pallas kernels, s2d
+    factorings with divisibility requirements) fall back to the
+    shape-agnostic XLA formulation inside exported artifacts."""
+    try:
+        return bool(pred_thunk())
+    except jax.core.InconclusiveDimensionOperation:
+        return False
+
+
 def space_to_depth(x: jnp.ndarray, f: int) -> jnp.ndarray:
     """NHWC s2d with channel layout c' = c*f^2 + ry*f + rx (the inverse of
     models.common.pixel_shuffle's torch-compatible layout)."""
@@ -122,12 +134,13 @@ def conv2d_subpixel_pre_shuffled(
         # block shape is (H+4, W//2+2, 2C) bf16 (kernels/coarse_conv.py).
         # Budget 6 MiB ~= the 96x96xC=256 point this gate was calibrated
         # at (5.1 MiB), validated on-TPU in round 2.
-        pad_block_bytes = (
-            (y.shape[1] + 4) * (y.shape[2] // 2 + 2) * 2 * y.shape[-1] * 2
+        fits_vmem = _concrete_pred(
+            lambda: (y.shape[1] + 4) * (y.shape[2] // 2 + 2) * 2
+            * y.shape[-1] * 2 <= 6 * 2**20
         )
-        fits_vmem = pad_block_bytes <= 6 * 2**20
         if (factor == 2 and jax.default_backend() == "tpu" and fits_vmem
-                and y.shape[1] % 2 == 0 and y.shape[2] % 2 == 0):
+                and _concrete_pred(
+                    lambda: y.shape[1] % 2 == 0 and y.shape[2] % 2 == 0)):
             return _pre_shuffled_f2_pallas(
                 y, w, b if b is not None else jnp.zeros(w.shape[-1], y.dtype)
             )
@@ -183,7 +196,7 @@ def conv2d_subpixel(x: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray | None = None
     divisible by `factor`; falls back to a direct conv otherwise."""
     _, h, wd, _ = x.shape
     f = factor
-    if f <= 1 or h % f or wd % f:
+    if f <= 1 or not _concrete_pred(lambda: h % f == 0 and wd % f == 0):
         out = lax.conv_general_dilated(
             x, w, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC")
         )

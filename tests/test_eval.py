@@ -153,3 +153,105 @@ class TestInferCLI:
             infer_mod.make_infer_fn = orig
         sr = np.asarray(Image.open(os.path.join(out, "p0_x4.png")))
         assert sr.shape == (52, 68, 3)
+
+
+class TestExport:
+    """eval/export.py: StableHLO serving artifacts (jax.export)."""
+
+    def _tiny(self):
+        config = Config()
+        config.MODEL.G_N_RCB = 1
+        config.MODEL.G_N_CHANNEL = 8
+        return config
+
+    def test_symbolic_artifact_serves_any_size(self, tmp_path, rng):
+        """One shape-polymorphic artifact must reproduce the live model
+        bit-exactly at multiple (batch, H, W) sizes, odd dims included
+        (the gated fast paths must fall back under symbolic shapes)."""
+        import jax
+
+        from srgan_st_tpu.eval.export import (
+            export_generator,
+            inspect_artifact,
+            load_runner,
+            save_artifact,
+        )
+        from srgan_st_tpu.models.generator import Generator
+
+        config = self._tiny()
+        g = Generator.from_config(config)
+        v = g.init(jax.random.key(0), jnp.zeros((1, 8, 8, 3)), train=False)
+        blob, meta = export_generator(config, v, platforms=("cpu",))
+        path = str(tmp_path / "g.srganx")
+        save_artifact(path, blob, meta)
+
+        header = inspect_artifact(path)
+        assert header["upscale"] == 4 and header["platforms"] == ["cpu"]
+        run = load_runner(path)
+        assert run.meta["n_params"] == header["n_params"] > 0
+        ref = jax.jit(lambda x: g.apply(v, x, train=False))
+        for shape in [(2, 12, 20, 3), (1, 9, 7, 3)]:
+            x = jnp.asarray(rng.random(shape), jnp.float32)
+            got = np.asarray(run(x))
+            assert got.shape == (shape[0], shape[1] * 4, shape[2] * 4, 3)
+            np.testing.assert_array_equal(got, np.asarray(ref(x)))
+
+    def test_multiplatform_and_fixed_shape_export(self, tmp_path, rng):
+        """Fixed-shape export pins the input aval; cross-platform lowering
+        (cpu+tpu) from the CPU host must serialize and execute on cpu."""
+        import jax
+
+        from srgan_st_tpu.eval.export import export_generator, load_runner, save_artifact
+        from srgan_st_tpu.models.generator import Generator
+
+        config = self._tiny()
+        g = Generator.from_config(config)
+        v = g.init(jax.random.key(0), jnp.zeros((1, 8, 8, 3)), train=False)
+        blob, meta = export_generator(
+            config, v, platforms=("cpu", "tpu"), fixed_shape=(1, 8, 8)
+        )
+        assert meta["platforms"] == ["cpu", "tpu"]
+        path = str(tmp_path / "g_fixed.srganx")
+        save_artifact(path, blob, meta)
+        run = load_runner(path)
+        x = jnp.asarray(rng.random((1, 8, 8, 3)), jnp.float32)
+        assert np.asarray(run(x)).shape == (1, 32, 32, 3)
+        # wrong shape must be rejected by the pinned calling convention
+        with pytest.raises(Exception):
+            run(jnp.zeros((1, 9, 9, 3)))
+
+    def test_cli_and_magic_check(self, tmp_path):
+        import jax
+
+        from srgan_st_tpu.eval.export import load_runner, main
+        from srgan_st_tpu.models.generator import Generator
+        from srgan_st_tpu.train.checkpoint import save_variables_npz
+
+        config = self._tiny()
+        g = Generator.from_config(config)
+        v = g.init(jax.random.key(0), jnp.zeros((1, 8, 8, 3)), train=False)
+        gpath = str(tmp_path / "g.npz")
+        save_variables_npz(gpath, v)
+        out = str(tmp_path / "m.srganx")
+
+        import srgan_st_tpu.eval.export as export_mod
+
+        orig = export_mod._build_eval_fn
+
+        def small_build(cfg, variables):
+            cfg.MODEL.G_N_RCB = 1
+            cfg.MODEL.G_N_CHANNEL = 8
+            return orig(cfg, variables)
+
+        export_mod._build_eval_fn = small_build
+        try:
+            main(["--gpath", gpath, "--out", out, "--platforms", "cpu"])
+        finally:
+            export_mod._build_eval_fn = orig
+        run = load_runner(out)
+        assert run.meta["format"] == "srgan-st-tpu/stablehlo"
+
+        bad = tmp_path / "bad.srganx"
+        bad.write_bytes(b"not an artifact")
+        with pytest.raises(ValueError, match="not a srgan-st-tpu export"):
+            load_runner(str(bad))
