@@ -14,6 +14,9 @@ want to upscale images have no entry point. This CLI closes that gap:
   serving configuration benched by `bench.py --only infer-4k`;
 * `--exp_name bicubic` / `nearest` select the baseline upscalers
   (same substitution contract as test(), reference validate.py:48-51);
+* `--artifact model.srganx` serves from an exported StableHLO artifact
+  (eval/export.py) — no model code or checkpoint loading; the upscale
+  factor comes from the artifact header;
 * odd image sizes are right/bottom edge-padded to even dims for the
   generator's packed ops and cropped back exactly after upscaling.
 
@@ -102,6 +105,11 @@ def main(argv=None) -> None:
     parser.add_argument("--gpath", type=str, default=None,
                         help="generator weights (.npz); default "
                              "results/<exp_name>/g_best.npz")
+    parser.add_argument("--artifact", type=str, default=None,
+                        help="serve from an exported StableHLO artifact "
+                             "(.srganx, see eval/export.py) instead of "
+                             "weights + model code; upscale is read from "
+                             "the artifact header")
     parser.add_argument("--exp_name", type=str, default="srgan")
     parser.add_argument("--upscale", type=int, default=4)
     parser.add_argument("--tiled", action="store_true",
@@ -123,7 +131,13 @@ def main(argv=None) -> None:
     if not files:
         raise SystemExit(f"no images found under {args.input}")
     os.makedirs(args.output, exist_ok=True)
-    apply_fn = make_infer_fn(config, gpath=args.gpath)
+    if args.artifact:
+        from srgan_st_tpu.eval.export import load_runner
+
+        apply_fn = load_runner(args.artifact)
+        args.upscale = int(apply_fn.meta["upscale"])
+    else:
+        apply_fn = make_infer_fn(config, gpath=args.gpath)
     for i, path in enumerate(files):
         lr = _load_rgb(path)
         sr = upscale_image(apply_fn, lr, args.upscale)

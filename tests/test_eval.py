@@ -255,3 +255,31 @@ class TestExport:
         bad.write_bytes(b"not an artifact")
         with pytest.raises(ValueError, match="not a srgan-st-tpu export"):
             load_runner(str(bad))
+
+    def test_infer_cli_serves_from_artifact(self, tmp_path, rng):
+        """eval/infer.py --artifact: the serving CLI must run from an
+        exported artifact alone (upscale read from the header), including
+        the odd-size pad/crop path."""
+        import jax
+        from PIL import Image
+
+        from srgan_st_tpu.eval.export import export_generator, save_artifact
+        from srgan_st_tpu.eval.infer import main
+        from srgan_st_tpu.models.generator import Generator
+
+        config = self._tiny()
+        g = Generator.from_config(config)
+        v = g.init(jax.random.key(0), jnp.zeros((1, 8, 8, 3)), train=False)
+        blob, meta = export_generator(config, v, platforms=("cpu",))
+        art = str(tmp_path / "g.srganx")
+        save_artifact(art, blob, meta)
+
+        img = (rng.random((13, 17, 3)) * 255).astype(np.uint8)  # odd dims
+        inp = tmp_path / "in"
+        inp.mkdir()
+        Image.fromarray(img).save(inp / "p.png")
+        out = str(tmp_path / "out")
+        main(["--input", str(inp / "p.png"), "--output", out,
+              "--artifact", art])
+        sr = np.asarray(Image.open(os.path.join(out, "p_x4.png")))
+        assert sr.shape == (52, 68, 3)
