@@ -230,6 +230,11 @@ class Config:
         # (fixes per-shape recompiles on heterogeneous test sets like
         # Urban100) and mesh-shardable tiles. Exact vs whole-image.
         self.TPU.TILED_EVAL = False
+        # Geometric ×8 self-ensemble at eval time (eval/ensemble.py):
+        # average the inverse-transformed outputs over the dihedral group.
+        # The standard SISR inference booster (~0.1-0.2 dB at 8x cost);
+        # composes with TILED_EVAL. Off by default (reference parity).
+        self.TPU.SELF_ENSEMBLE = False
         # Wrap train steps with a TPU-side finite-metrics check (prints a
         # warning on NaN/Inf without host syncs); for loss bring-up.
         self.TPU.NAN_GUARD = False

@@ -118,6 +118,9 @@ def main(argv=None) -> None:
     parser.add_argument("--bf16", action="store_true",
                         help="bfloat16 compute (validated: converges "
                              "identically in training; serving-safe)")
+    parser.add_argument("--ensemble", action="store_true",
+                        help="geometric x8 self-ensemble (~0.1-0.2 dB "
+                             "PSNR at 8x the inference cost)")
     args = parser.parse_args(argv)
 
     config = Config()
@@ -138,6 +141,10 @@ def main(argv=None) -> None:
         args.upscale = int(apply_fn.meta["upscale"])
     else:
         apply_fn = make_infer_fn(config, gpath=args.gpath)
+    if args.ensemble:
+        from srgan_st_tpu.eval.ensemble import self_ensemble
+
+        apply_fn = self_ensemble(apply_fn)
     for i, path in enumerate(files):
         lr = _load_rgb(path)
         sr = upscale_image(apply_fn, lr, args.upscale)

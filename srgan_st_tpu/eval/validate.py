@@ -119,6 +119,10 @@ def make_generator_apply(config, variables):
             apply_fn, upscale=config.DATA.UPSCALE_FACTOR,
             halo=generator_halo(config.MODEL.G_N_RCB, config.DATA.UPSCALE_FACTOR),
         )
+    if config.TPU.get("SELF_ENSEMBLE"):
+        from srgan_st_tpu.eval.ensemble import self_ensemble
+
+        apply_fn = self_ensemble(apply_fn)
     return apply_fn
 
 

@@ -283,3 +283,68 @@ class TestExport:
               "--artifact", art])
         sr = np.asarray(Image.open(os.path.join(out, "p_x4.png")))
         assert sr.shape == (52, 68, 3)
+
+
+class TestSelfEnsemble:
+    """eval/ensemble.py: geometric x8 test-time augmentation."""
+
+    def test_exact_for_equivariant_operator(self, rng):
+        """For a dihedral-equivariant upscaler (nearest), the ensemble is
+        exactly the plain output — pins the transform/inverse pairing."""
+        from srgan_st_tpu.eval.ensemble import self_ensemble
+        from srgan_st_tpu.ops.resize import nearest_upscale
+
+        fn = lambda x: np.asarray(nearest_upscale(jnp.asarray(x), 4))  # noqa: E731
+        x = rng.random((2, 6, 9, 3)).astype(np.float32)  # non-square
+        np.testing.assert_array_equal(self_ensemble(fn)(x), fn(x))
+
+    def test_averages_anisotropic_operator(self, rng):
+        """For a non-equivariant fn the ensemble must differ from the
+        plain output and equal the hand-computed 8-term average."""
+        from srgan_st_tpu.eval.ensemble import (
+            dihedral,
+            dihedral_inverse,
+            self_ensemble,
+        )
+
+        k = np.arange(9, dtype=np.float32).reshape(3, 3)
+
+        def fn(x):  # anisotropic: depends on orientation
+            from scipy.signal import convolve2d
+
+            return np.stack([
+                np.stack([convolve2d(img[..., c], k, mode="same")
+                          for c in range(3)], -1)
+                for img in x
+            ])
+
+        x = rng.random((1, 8, 8, 3)).astype(np.float32)
+        got = self_ensemble(fn)(x)
+        assert not np.allclose(got, fn(x))
+        acc = np.zeros_like(fn(x), np.float64)
+        for kk in range(4):
+            for flip in (False, True):
+                acc += dihedral_inverse(
+                    fn(dihedral(x, kk, flip)), kk, flip
+                ).astype(np.float64)
+        np.testing.assert_allclose(got, (acc / 8).astype(np.float32), rtol=1e-6)
+
+    def test_wired_into_make_generator_apply(self, rng):
+        """TPU.SELF_ENSEMBLE composes in make_generator_apply."""
+        import jax
+
+        from srgan_st_tpu.eval.validate import make_generator_apply
+        from srgan_st_tpu.models.generator import Generator
+
+        config = Config()
+        config.MODEL.G_N_RCB = 1
+        config.MODEL.G_N_CHANNEL = 8
+        g = Generator.from_config(config)
+        v = g.init(jax.random.key(0), jnp.zeros((1, 8, 8, 3)), train=False)
+        plain = make_generator_apply(config, v)
+        config.TPU.SELF_ENSEMBLE = True
+        ens = make_generator_apply(config, v)
+        x = rng.random((1, 8, 8, 3)).astype(np.float32)
+        a, b = np.asarray(plain(jnp.asarray(x))), ens(x)
+        assert a.shape == b.shape == (1, 32, 32, 3)
+        assert not np.array_equal(a, b)  # a trained-free G is anisotropic
