@@ -72,11 +72,12 @@ def _make_config(name: str):
         )
     elif name == "gram-vgg":
         config.add_g_criterion("Gram", {"kind": "gram"}, 500.0)
-        config.add_g_criterion(
-            "ContentVGG",
-            {"kind": "content_vgg", "allow_random_init": True},
-            1.0,
-        )
+        # BENCH_VGG_PAIR=0|1 A/Bs the frozen-pair single-forward VGG vs
+        # the two-forward autodiff path (default: registry auto)
+        spec = {"kind": "content_vgg", "allow_random_init": True}
+        if os.environ.get("BENCH_VGG_PAIR"):
+            spec["pair"] = os.environ["BENCH_VGG_PAIR"] == "1"
+        config.add_g_criterion("ContentVGG", spec, 1.0)
     elif name != "headline":
         raise ValueError(name)
     return config

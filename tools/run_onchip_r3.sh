@@ -18,6 +18,9 @@ run() {
 # 1. trunk-mode A/B at the headline config (VERDICT item 2)
 run env BENCH_TRUNK=unfused python bench.py
 run env BENCH_TRUNK=packed python bench.py
+# 1b. gram-vgg frozen-pair A/B (VERDICT item 5 attribution)
+run env BENCH_VGG_PAIR=0 python bench.py --only gram-vgg
+run env BENCH_VGG_PAIR=1 python bench.py --only gram-vgg
 # 2. buddy-select large-shape sweep (kernel value claim)
 run python tools/bench_buddy.py
 # 3. serving row (new in r3)
