@@ -181,6 +181,8 @@ def main(argv=None) -> None:
                         help="explicit generator weights (.npz) path")
     parser.add_argument("--tiled", action="store_true",
                         help="halo-tiled inference for large images")
+    parser.add_argument("--ensemble", action="store_true",
+                        help="geometric x8 self-ensemble (eval/ensemble.py)")
     args = parser.parse_args(argv)
 
     config = Config()
@@ -191,6 +193,7 @@ def main(argv=None) -> None:
     # per-test-set output dir so multi-set sweeps don't overwrite each other
     config.DATA.TEST_SR_IMAGES_DIR = f"results/_test/{args.test_set}"
     config.TPU.TILED_EVAL = args.tiled
+    config.TPU.SELF_ENSEMBLE = args.ensemble
     test(config, save_images=args.save_images, concat_w_gt=args.concat_w_gt,
          g_path=args.gpath)
 
