@@ -348,3 +348,25 @@ class TestSelfEnsemble:
         a, b = np.asarray(plain(jnp.asarray(x))), ens(x)
         assert a.shape == b.shape == (1, 32, 32, 3)
         assert not np.array_equal(a, b)  # a trained-free G is anisotropic
+
+    def test_composes_with_tiled_eval(self, rng):
+        """ensemble(tiled(G)) must equal ensemble(G) to float-roundoff
+        (the tiled applier pads to the tile size, which reassociates conv
+        edge arithmetic at ~1e-6); pins that make_generator_apply wraps
+        tiled first, ensemble outermost."""
+        import jax
+
+        from srgan_st_tpu.eval.validate import make_generator_apply
+        from srgan_st_tpu.models.generator import Generator
+
+        config = Config()
+        config.MODEL.G_N_RCB = 1
+        config.MODEL.G_N_CHANNEL = 8
+        g = Generator.from_config(config)
+        v = g.init(jax.random.key(0), jnp.zeros((1, 8, 8, 3)), train=False)
+        config.TPU.SELF_ENSEMBLE = True
+        ens = make_generator_apply(config, v)
+        config.TPU.TILED_EVAL = True
+        ens_tiled = make_generator_apply(config, v)
+        x = rng.random((1, 12, 20, 3)).astype(np.float32)
+        np.testing.assert_allclose(ens(x), ens_tiled(x), atol=1e-5)
