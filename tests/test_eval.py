@@ -370,3 +370,27 @@ class TestSelfEnsemble:
         ens_tiled = make_generator_apply(config, v)
         x = rng.random((1, 12, 20, 3)).astype(np.float32)
         np.testing.assert_allclose(ens(x), ens_tiled(x), atol=1e-5)
+
+
+def test_bf16_export_matches_live_bf16(tmp_path, rng):
+    """--bf16 export embeds the bfloat16-compute graph; the artifact must
+    reproduce the live bf16 model exactly (same graph, same rounding)."""
+    import jax
+
+    from srgan_st_tpu.eval.export import export_generator, load_runner, save_artifact
+    from srgan_st_tpu.models.generator import Generator
+
+    config = Config()
+    config.MODEL.G_N_RCB = 1
+    config.MODEL.G_N_CHANNEL = 8
+    config.TPU.COMPUTE_DTYPE = "bfloat16"
+    g = Generator.from_config(config).clone(conv3_inner=1)
+    v = g.init(jax.random.key(0), jnp.zeros((1, 8, 8, 3)), train=False)
+    blob, meta = export_generator(config, v, platforms=("cpu",))
+    assert meta["compute_dtype"] == "bfloat16"
+    path = str(tmp_path / "g16.srganx")
+    save_artifact(path, blob, meta)
+    run = load_runner(path)
+    x = jnp.asarray(rng.random((1, 10, 14, 3)), jnp.float32)
+    live = jax.jit(lambda a: g.apply(v, a, train=False))(x)
+    np.testing.assert_array_equal(np.asarray(run(x)), np.asarray(live))
