@@ -3,8 +3,13 @@
 # (a tiny jit returns in ~1s). Each step appends to /tmp/onchip_r3.log.
 # Sequential on purpose: parallel compiles serialize in the tunnel, and
 # heavy host work during a compile slows it (CLAUDE.md).
+#
+# After the trunk-mode and VGG-pair A/Bs, the winning knobs are picked
+# automatically and the final --suite refresh runs with them, so one
+# pass of this script yields the final BENCH_SUITE numbers (defaults in
+# the code are flipped afterwards, by hand, to match the measurements).
 set -u
-export PYTHONPATH=/root/repo:$PYTHONPATH
+export PYTHONPATH=/root/repo:${PYTHONPATH:-}
 cd /root/repo
 LOG=/tmp/onchip_r3.log
 echo "=== onchip r3 queue start $(date -u) ===" >> "$LOG"
@@ -15,17 +20,44 @@ run() {
   echo "--- rc=$? $(date -u +%H:%M:%S)" >> "$LOG"
 }
 
+# run + capture the bench JSON "value" into the named variable ($1)
+runv() {
+  local __var=$1; shift
+  local out rc
+  echo "--- $* $(date -u +%H:%M:%S)" >> "$LOG"
+  out=$("$@" 2>>"$LOG")
+  rc=$?
+  echo "$out" >> "$LOG"
+  echo "--- rc=$rc $(date -u +%H:%M:%S)" >> "$LOG"
+  printf -v "$__var" '%s' "$(printf '%s\n' "$out" | python3 -c '
+import json, sys
+v = 0.0
+for line in sys.stdin:
+    line = line.strip()
+    if line.startswith("{"):
+        try: v = json.loads(line).get("value", 0.0)
+        except Exception: pass
+print(v)')"
+}
+
 # 1. trunk-mode A/B at the headline config (VERDICT item 2)
-run env BENCH_TRUNK=unfused python bench.py
-run env BENCH_TRUNK=packed python bench.py
+runv V_UNFUSED env BENCH_TRUNK=unfused python bench.py
+runv V_PACKED env BENCH_TRUNK=packed python bench.py
+TRUNK_WIN=$(python3 -c "print('packed' if ${V_PACKED:-0} > ${V_UNFUSED:-0} else 'unfused')")
+echo "### trunk A/B: unfused=${V_UNFUSED} packed=${V_PACKED} -> winner=${TRUNK_WIN}" >> "$LOG"
+
 # 1b. gram-vgg frozen-pair A/B (VERDICT item 5 attribution)
-run env BENCH_VGG_PAIR=0 python bench.py --only gram-vgg
-run env BENCH_VGG_PAIR=1 python bench.py --only gram-vgg
+runv V_VGG2FWD env BENCH_VGG_PAIR=0 python bench.py --only gram-vgg
+runv V_VGGPAIR env BENCH_VGG_PAIR=1 python bench.py --only gram-vgg
+VGG_WIN=$(python3 -c "print(1 if ${V_VGGPAIR:-0} > ${V_VGG2FWD:-0} else 0)")
+echo "### vgg pair A/B: two-fwd=${V_VGG2FWD} pair=${V_VGGPAIR} -> BENCH_VGG_PAIR=${VGG_WIN}" >> "$LOG"
+
 # 2. buddy-select large-shape sweep (kernel value claim)
 run python tools/bench_buddy.py
 # 3. serving row (new in r3)
 run python bench.py --only infer-4k
-# 4. full suite refresh: headline + flagship + gram-vgg (frozen pair) + e2e
-run python bench.py --suite
+# 4. full suite refresh with the measured winners:
+#    headline + flagship + gram-vgg + e2e
+run env "BENCH_TRUNK=${TRUNK_WIN}" "BENCH_VGG_PAIR=${VGG_WIN}" python bench.py --suite
 
 echo "=== onchip r3 queue done $(date -u) ===" >> "$LOG"
