@@ -215,6 +215,7 @@ def measure_e2e(stream: bool = False) -> dict:
     config = _make_config("headline")
     dtype = os.environ.get("BENCH_DTYPE", "bfloat16")
     config.TPU.COMPUTE_DTYPE = dtype
+    config.TPU.TRUNK_MODE = os.environ.get("BENCH_TRUNK") or None
     n_chips = len(jax.devices())
     per_chip_batch = 16
     config.DATA.BATCH_SIZE = per_chip_batch * n_chips
