@@ -41,11 +41,30 @@ complete model. bf16 export (`--bf16`) embeds the bf16-compute graph
 from __future__ import annotations
 
 import json
+import math
 import os
+import re
 
 import numpy as np
 
 _MAGIC = b"SRGANX1\n"
+
+
+def derive_arch(variables) -> dict:
+    """Recover (channels, num_rcb, upscale) from a generator variable tree
+    so export needs no architecture flags — the dims in the artifact header
+    are always those of the actual weights.  conv1's kernel carries the
+    width, the ``rcb{i}`` subtrees the depth, and each ``up{i}`` block's
+    conv expands channels by r^2 (generator.py UpsampleBlock)."""
+    params = variables.get("params", variables)
+    channels = int(np.asarray(params["conv1"]["kernel"]).shape[-1])
+    num_rcb = sum(1 for k in params if re.fullmatch(r"rcb\d+", k))
+    upscale = 1
+    for k in params:
+        if re.fullmatch(r"up\d+", k):
+            out = int(np.asarray(params[k]["conv"]["kernel"]).shape[-1])
+            upscale *= math.isqrt(out // channels)
+    return {"channels": channels, "num_rcb": num_rcb, "upscale": upscale}
 
 
 def _build_eval_fn(config, variables):
@@ -92,6 +111,7 @@ def export_generator(config, variables, *, platforms=("tpu", "cpu"),
         "num_rcb": int(config.MODEL.G_N_RCB),
         "compute_dtype": str(config.TPU.COMPUTE_DTYPE),
         "platforms": list(exp.platforms),
+        "fixed_shape": list(fixed_shape) if fixed_shape else None,
         "n_params": int(n_params),
         "jax_version": jax.__version__,
     }
@@ -107,13 +127,19 @@ def save_artifact(path: str, blob: bytes, meta: dict) -> None:
         f.write(blob)
 
 
+def _read_header(f, path: str) -> dict:
+    """Parse the on-disk header (magic, 8-byte LE length, JSON); leaves
+    the file positioned at the serialized program."""
+    if f.read(len(_MAGIC)) != _MAGIC:
+        raise ValueError(f"{path}: not a srgan-st-tpu export artifact")
+    n = int.from_bytes(f.read(8), "little")
+    return json.loads(f.read(n))
+
+
 def inspect_artifact(path: str) -> dict:
     """Read the JSON header without touching the serialized program."""
     with open(path, "rb") as f:
-        if f.read(len(_MAGIC)) != _MAGIC:
-            raise ValueError(f"{path}: not a srgan-st-tpu export artifact")
-        n = int.from_bytes(f.read(8), "little")
-        return json.loads(f.read(n))
+        return _read_header(f, path)
 
 
 def load_runner(path: str):
@@ -122,10 +148,7 @@ def load_runner(path: str):
     from jax import export as jexport
 
     with open(path, "rb") as f:
-        if f.read(len(_MAGIC)) != _MAGIC:
-            raise ValueError(f"{path}: not a srgan-st-tpu export artifact")
-        n = int.from_bytes(f.read(8), "little")
-        meta = json.loads(f.read(n))
+        meta = _read_header(f, path)
         exp = jexport.deserialize(f.read())
 
     def run(lr):
@@ -149,7 +172,10 @@ def main(argv=None) -> None:
                         help="generator weights (.npz)")
     parser.add_argument("--out", type=str, required=True,
                         help="output artifact path (.srganx)")
-    parser.add_argument("--upscale", type=int, default=4)
+    parser.add_argument("--upscale", type=int, default=None,
+                        help="cross-check only: the factor (like the model "
+                             "width/depth) is derived from the weights; a "
+                             "mismatch errors out")
     parser.add_argument("--platforms", type=str, default="tpu,cpu",
                         help="comma-separated lowering targets")
     parser.add_argument("--fixed", type=str, default=None,
@@ -159,7 +185,6 @@ def main(argv=None) -> None:
     args = parser.parse_args(argv)
 
     config = Config()
-    config.DATA.UPSCALE_FACTOR = args.upscale
     if args.bf16:
         config.TPU.COMPUTE_DTYPE = "bfloat16"
     fixed = None
@@ -168,6 +193,17 @@ def main(argv=None) -> None:
         if len(fixed) != 3:
             raise SystemExit(f"--fixed expects BxHxW, got {args.fixed}")
     variables = load_params_npz(args.gpath)
+    # the checkpoint, not flags, defines the architecture — non-default
+    # widths/depths export without any extra arguments
+    arch = derive_arch(variables)
+    config.MODEL.G_N_CHANNEL = arch["channels"]
+    config.MODEL.G_N_RCB = arch["num_rcb"]
+    config.DATA.UPSCALE_FACTOR = arch["upscale"]
+    if args.upscale is not None and args.upscale != arch["upscale"]:
+        raise SystemExit(
+            f"--upscale {args.upscale} conflicts with the checkpoint "
+            f"(x{arch['upscale']} per its upsample-block shapes)"
+        )
     blob, meta = export_generator(
         config, variables,
         platforms=tuple(p.strip() for p in args.platforms.split(",")),

@@ -135,6 +135,16 @@ def main(argv=None) -> None:
         raise SystemExit(f"no images found under {args.input}")
     os.makedirs(args.output, exist_ok=True)
     if args.artifact:
+        # an artifact is a sealed program: its compute dtype is baked in
+        # and it runs whole inputs — flags that reconfigure the live model
+        # would be silently ignored, so reject them instead
+        for flag, given in (("--tiled", args.tiled), ("--bf16", args.bf16),
+                            ("--gpath", args.gpath)):
+            if given:
+                raise SystemExit(
+                    f"{flag} does not apply when serving from --artifact "
+                    "(export-time choice; see eval/export.py)"
+                )
         from srgan_st_tpu.eval.export import load_runner
 
         apply_fn = load_runner(args.artifact)
@@ -144,6 +154,14 @@ def main(argv=None) -> None:
     if args.ensemble:
         from srgan_st_tpu.eval.ensemble import self_ensemble
 
+        fixed = getattr(apply_fn, "meta", {}).get("fixed_shape")
+        if fixed and fixed[1] != fixed[2]:
+            raise SystemExit(
+                "--ensemble rotates inputs by 90deg, so a fixed-shape "
+                f"artifact must be square; this one is pinned to "
+                f"{fixed[1]}x{fixed[2]} (re-export without --fixed for a "
+                "shape-polymorphic artifact)"
+            )
         apply_fn = self_ensemble(apply_fn)
     for i, path in enumerate(files):
         lr = _load_rgb(path)

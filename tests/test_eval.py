@@ -221,35 +221,36 @@ class TestExport:
             run(jnp.zeros((1, 9, 9, 3)))
 
     def test_cli_and_magic_check(self, tmp_path):
+        """The CLI takes no architecture flags: width/depth/upscale come
+        from the checkpoint itself (derive_arch), so a non-default model
+        exports with just --gpath/--out."""
         import jax
 
         from srgan_st_tpu.eval.export import load_runner, main
         from srgan_st_tpu.models.generator import Generator
         from srgan_st_tpu.train.checkpoint import save_variables_npz
 
-        config = self._tiny()
+        config = self._tiny()  # non-default: 8 channels, 1 RCB
         g = Generator.from_config(config)
         v = g.init(jax.random.key(0), jnp.zeros((1, 8, 8, 3)), train=False)
         gpath = str(tmp_path / "g.npz")
         save_variables_npz(gpath, v)
         out = str(tmp_path / "m.srganx")
 
-        import srgan_st_tpu.eval.export as export_mod
-
-        orig = export_mod._build_eval_fn
-
-        def small_build(cfg, variables):
-            cfg.MODEL.G_N_RCB = 1
-            cfg.MODEL.G_N_CHANNEL = 8
-            return orig(cfg, variables)
-
-        export_mod._build_eval_fn = small_build
-        try:
-            main(["--gpath", gpath, "--out", out, "--platforms", "cpu"])
-        finally:
-            export_mod._build_eval_fn = orig
+        main(["--gpath", gpath, "--out", out, "--platforms", "cpu"])
         run = load_runner(out)
         assert run.meta["format"] == "srgan-st-tpu/stablehlo"
+        assert run.meta["channels"] == 8
+        assert run.meta["num_rcb"] == 1
+        assert run.meta["upscale"] == 4
+        # ...and the derived-dims artifact actually serves
+        x = jnp.zeros((1, 6, 6, 3), jnp.float32)
+        assert np.asarray(run(x)).shape == (1, 24, 24, 3)
+
+        # a conflicting --upscale must error, not silently re-architect
+        with pytest.raises(SystemExit, match="conflicts with the checkpoint"):
+            main(["--gpath", gpath, "--out", out, "--platforms", "cpu",
+                  "--upscale", "2"])
 
         bad = tmp_path / "bad.srganx"
         bad.write_bytes(b"not an artifact")
@@ -283,6 +284,24 @@ class TestExport:
               "--artifact", art])
         sr = np.asarray(Image.open(os.path.join(out, "p_x4.png")))
         assert sr.shape == (52, 68, 3)
+
+        # flags that reconfigure the LIVE model must be rejected on the
+        # artifact path, not silently ignored (an artifact is sealed)
+        for flag in ("--tiled", "--bf16"):
+            with pytest.raises(SystemExit, match="does not apply"):
+                main(["--input", str(inp / "p.png"), "--output", out,
+                      "--artifact", art, flag])
+
+        # --ensemble rotates inputs; a non-square fixed-shape artifact
+        # cannot serve the rotated variants -> reject up front
+        blob_f, meta_f = export_generator(
+            config, v, platforms=("cpu",), fixed_shape=(1, 8, 12)
+        )
+        art_f = str(tmp_path / "g_fixed.srganx")
+        save_artifact(art_f, blob_f, meta_f)
+        with pytest.raises(SystemExit, match="must be square"):
+            main(["--input", str(inp / "p.png"), "--output", out,
+                  "--artifact", art_f, "--ensemble"])
 
 
 class TestSelfEnsemble:
