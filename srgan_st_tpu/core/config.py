@@ -260,3 +260,63 @@ class Config:
             if not callable(getattr(self, attr)) and not attr.startswith("__")
         ]
         return str(params)
+
+
+def _coerce_like(raw: str, current) -> object:
+    """Parse a CLI string as the type of the field it replaces."""
+    if isinstance(current, bool):  # before int: bool is an int subclass
+        lowered = raw.lower()
+        if lowered in ("1", "true", "yes", "on"):
+            return True
+        if lowered in ("0", "false", "no", "off"):
+            return False
+        raise ValueError(f"expected a boolean, got {raw!r}")
+    if isinstance(current, int):
+        return int(raw)
+    if isinstance(current, float):
+        return float(raw)
+    if isinstance(current, str):
+        return raw
+    # None / lists / dicts: accept any python literal ("none" -> None)
+    import ast
+
+    if raw.lower() in ("none", "null"):
+        return None
+    try:
+        return ast.literal_eval(raw)
+    except (ValueError, SyntaxError):
+        return raw
+
+
+def apply_overrides(config: Config, assignments) -> Config:
+    """Apply ``GROUP.FIELD=value`` CLI overrides onto a Config in place.
+
+    The dotted path must name an EXISTING field (typo protection: the
+    config is code-as-config, so an unknown key is a user error, never a
+    new setting) and the value is parsed as the type of the field it
+    replaces. Returns the config for chaining.
+    """
+    for assignment in assignments or ():
+        path, sep, raw = assignment.partition("=")
+        if not sep:
+            raise SystemExit(f"--set expects PATH=VALUE, got {assignment!r}")
+        obj = config
+        parts = path.split(".")
+        try:
+            for part in parts[:-1]:
+                obj = getattr(obj, part)
+            current = getattr(obj, parts[-1])
+        except (AttributeError, KeyError):
+            valid = ", ".join(
+                k for k in (obj.keys() if isinstance(obj, dict) else vars(obj))
+                if not k.startswith("_")
+            )
+            raise SystemExit(
+                f"--set {path}: no such config field (siblings: {valid})"
+            ) from None
+        try:
+            value = _coerce_like(raw, current)
+        except ValueError as e:
+            raise SystemExit(f"--set {path}={raw!r}: {e}") from None
+        setattr(obj, parts[-1], value)
+    return config

@@ -51,8 +51,19 @@ def st_experiment(config: Config, i: int) -> Config:
     return config
 
 
-def main() -> None:
-    job_index = get_jobindex()
+def main(argv=None) -> None:
+    import argparse
+
+    parser = argparse.ArgumentParser(
+        description="Run one experiment of the ST-comparison sweep, "
+        "selected by job index (array-job compatible)."
+    )
+    parser.add_argument("--job_index", type=int, default=None,
+                        help="experiment index; default: the job_index "
+                        "environment variable set by the scheduler")
+    args = parser.parse_args(argv)
+
+    job_index = get_jobindex() if args.job_index is None else args.job_index
     print(f"Running job: {job_index}")
 
     config = Config()
