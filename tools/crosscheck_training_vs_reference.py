@@ -45,6 +45,7 @@ from __future__ import annotations
 import argparse
 import os
 import sys
+import tempfile
 import types
 
 import numpy as np
@@ -69,6 +70,58 @@ class _Grayscale:
         return (0.2989 * r + 0.587 * g + 0.114 * b).unsqueeze(dim=-3)
 
 
+class _Normalize:
+    """transforms.Normalize for batched (N, C, H, W) tensors: channelwise
+    (x - mean) / std, exactly torchvision's arithmetic."""
+
+    def __init__(self, mean, std):
+        self.mean, self.std = mean, std
+
+    def __call__(self, x):
+        import torch
+
+        mean = torch.as_tensor(self.mean, dtype=x.dtype).view(-1, 1, 1)
+        std = torch.as_tensor(self.std, dtype=x.dtype).view(-1, 1, 1)
+        return (x - mean) / std
+
+
+def _make_feature_extractor_shim():
+    """Hook-based create_feature_extractor(model, return_nodes): returns a
+    module whose forward yields {node_name: activation}. For module-level
+    node names (the only kind the reference uses — "features.N"), forward
+    hooks produce exactly the FX extractor's tap activations; the only
+    difference is that layers after the last tap still execute, which
+    cannot change the returned values. The wrapped model is exposed as
+    `.model` (registered submodule, so .eval()/.parameters() reach it)."""
+    import torch
+
+    class _FeatureExtractor(torch.nn.Module):
+        def __init__(self, model, return_nodes):
+            super().__init__()
+            self.model = model
+            self._names = list(return_nodes)
+            missing = [n for n in self._names
+                       if n not in dict(model.named_modules())]
+            assert not missing, f"unknown tap nodes: {missing}"
+
+        def forward(self, x):
+            feats: dict = {}
+            handles = []
+            modules = dict(self.model.named_modules())
+            try:
+                for name in self._names:
+                    def _hook(_m, _i, out, _name=name):
+                        feats[_name] = out
+                    handles.append(modules[name].register_forward_hook(_hook))
+                self.model(x)
+            finally:
+                for h in handles:
+                    h.remove()
+            return feats
+
+    return _FeatureExtractor
+
+
 def _install_shims() -> None:
     import torch
 
@@ -78,10 +131,12 @@ def _install_shims() -> None:
     tv_models.feature_extraction = types.ModuleType(
         "torchvision.models.feature_extraction"
     )
-    tv_models.feature_extraction.create_feature_extractor = None
+    tv_models.feature_extraction.create_feature_extractor = (
+        _make_feature_extractor_shim()
+    )
     tv_transforms = types.ModuleType("torchvision.transforms")
     tv_transforms.Grayscale = _Grayscale
-    tv_transforms.Normalize = None
+    tv_transforms.Normalize = _Normalize
     tv_utils = types.ModuleType("torchvision.utils")
     tv_utils.make_grid = None
     tv_io = types.ModuleType("torchvision.io")
@@ -116,18 +171,23 @@ def _ref_cache_path(args, perturb: bool) -> str | None:
     key = (f"w{args.warmup_steps}_g{args.gan_steps}_b{args.batch}"
            f"_spe{args.steps_per_epoch}_d{args.d_interval}"
            f"_m{args.milestone}_{'small' if args.small else 'full'}"
+           f"{'' if _recipe(args) == 'st' else '_' + _recipe(args)}"
            f"{'_p' if perturb else ''}")
     return os.path.join(args.cache_dir, f"ref_{key}.npz")
 
 
-_STATE_PARTS = ("g0", "g_warm", "d0", "g_final", "d_final")
+def _recipe(args) -> str:
+    return getattr(args, "recipe", "st")
+
+
+_STATE_PARTS = ("g0", "g_warm", "d0", "g_final", "d_final", "cd0")
 _TRACE_PARTS = ("warm_losses", "gan_g_losses", "gan_d_losses")
 
 
 def _save_ref(path: str, ref: dict) -> None:
     flat = {t: ref[t] for t in _TRACE_PARTS}
     for part in _STATE_PARTS:
-        for k, v in ref[part].items():
+        for k, v in ref.get(part, {}).items():
             flat[f"{part}/{k}"] = v
     os.makedirs(os.path.dirname(path), exist_ok=True)
     np.savez(path, **flat)
@@ -138,8 +198,10 @@ def _load_ref(path: str) -> dict:
     ref: dict = {t: data[t] for t in _TRACE_PARTS}
     for part in _STATE_PARTS:
         prefix = part + "/"
-        ref[part] = {k[len(prefix):]: data[k] for k in data.files
-                     if k.startswith(prefix)}
+        sub = {k[len(prefix):]: data[k] for k in data.files
+               if k.startswith(prefix)}
+        if sub or part != "cd0":  # cd0 only exists for recipe=flagship
+            ref[part] = sub
     return ref
 
 
@@ -222,6 +284,19 @@ def run_reference(args, warm_data: np.ndarray, gan_data: np.ndarray,
     torch.manual_seed(1)
     D = ref_model.Discriminator(cfg)
     out["d0"] = {k: v.numpy().copy() for k, v in D.state_dict().items()}
+    pst = closs = None
+    if _recipe(args) == "flagship":
+        # the flagship research recipe: Adv + Pixel + PatchwiseST +
+        # ContentDiscriminator (reference config.py:66-86 weights; the
+        # content D is a FRESH random Discriminator captured at
+        # construction, loss.py:263, run eval-mode with frozen params)
+        pst = ref_loss.PatchwiseStructureTensorLoss()
+        torch.manual_seed(2)
+        closs = ref_loss.ContentLossDiscriminator(cfg)
+        out["cd0"] = {
+            k: v.numpy().copy()
+            for k, v in closs.feature_extractor.model.state_dict().items()
+        }
     g_opt = torch.optim.Adam(  # fresh optimizers (train.py:62-76)
         G.parameters(), lr=cfg.SOLVER.G_BASE_LR,
         betas=(cfg.SOLVER.G_BETA1, cfg.SOLVER.G_BETA2),
@@ -246,7 +321,8 @@ def run_reference(args, warm_data: np.ndarray, gan_data: np.ndarray,
         batch_num = step % args.steps_per_epoch  # resets per epoch
         gt, lr = prepare(gan_data[step])
 
-        # G update (train.py:122-146); criterion order Adv, Pixel, ST
+        # G update (train.py:122-146); criterion order Adv, Pixel, then
+        # the recipe's content terms (summation order mirrored in run_jax)
         for p in D.parameters():
             p.requires_grad = False
         G.zero_grad()
@@ -254,7 +330,11 @@ def run_reference(args, warm_data: np.ndarray, gan_data: np.ndarray,
         g_loss = torch.tensor(0.0)
         g_loss = g_loss + bce(D(sr), real_label) * 0.001
         g_loss = g_loss + mse(sr, gt) * 1.0
-        g_loss = g_loss + st(sr, gt) * (1.0 / 3.0)
+        if _recipe(args) == "flagship":
+            g_loss = g_loss + pst(sr, gt) * 100.0
+            g_loss = g_loss + closs(sr, gt) * 2000.0
+        else:
+            g_loss = g_loss + st(sr, gt) * (1.0 / 3.0)
         g_loss.backward()
         g_opt.step()
         g_losses.append(g_loss.item())
@@ -290,7 +370,8 @@ def run_reference(args, warm_data: np.ndarray, gan_data: np.ndarray,
 # jax side: srgan_st_tpu.train.steps driven with the same schedule
 
 def run_jax(args, warm_data: np.ndarray, gan_data: np.ndarray,
-            g0: dict, d0: dict, g_warm: dict | None = None):
+            g0: dict, d0: dict, g_warm: dict | None = None,
+            cd0: dict | None = None):
     """Replays the same two-phase schedule through the framework's train
     steps from the torch init weights. Returns losses + final variables.
     Importable by tests (no /root/reference dependency)."""
@@ -331,11 +412,32 @@ def run_jax(args, warm_data: np.ndarray, gan_data: np.ndarray,
         config.MODEL.G_N_RCB = 2
         config.MODEL.G_N_CHANNEL = 16
         config.MODEL.D_N_CHANNEL = 4
-    config.MODEL.G_LOSS.CRITERIONS = {
-        "Adversarial": {"kind": "adversarial"},
-        "Pixel": {"kind": "pixel", "criterion": "mse"},
-        "ST": {"kind": "st"},
-    }  # weights: defaults 0.001 / 1.0 / (1/3) — reference config.py:77-86
+    if _recipe(args) == "flagship":
+        # same insertion (= summation) order as the torch side; weights
+        # from the shared defaults (0.001 / 1.0 / 100.0 / 2000.0)
+        config.MODEL.G_LOSS.CRITERIONS = {
+            "Adversarial": {"kind": "adversarial"},
+            "Pixel": {"kind": "pixel", "criterion": "mse"},
+            "PatchwiseST": {"kind": "patchwise_st"},
+            "ContentDiscriminator": {"kind": "content_disc"},
+        }
+        assert cd0 is not None, "flagship recipe needs the torch content-D"
+        from import_torch_checkpoint import import_discriminator as _imp_d
+
+        from srgan_st_tpu.train.checkpoint import save_variables_npz
+
+        cd_vars = _imp_d(cd0, channels=config.MODEL.D_N_CHANNEL)
+        cd_path = os.path.join(
+            tempfile.mkdtemp(prefix="srgan_traj_cd_"), "content_d.npz"
+        )
+        save_variables_npz(cd_path, cd_vars)
+        config.MODEL.G_LOSS.DISC_FEATURES_WEIGHTS = cd_path
+    else:
+        config.MODEL.G_LOSS.CRITERIONS = {
+            "Adversarial": {"kind": "adversarial"},
+            "Pixel": {"kind": "pixel", "criterion": "mse"},
+            "ST": {"kind": "st"},
+        }  # weights: defaults 0.001 / 1.0 / (1/3) — reference config.py:77-86
 
     g_model = Generator.from_config(config)
     d_model = Discriminator.from_config(config)
@@ -545,6 +647,10 @@ def main() -> None:
                         "the boundary mid-run for both sides)")
     p.add_argument("--small", action="store_true",
                    help="reduced model (2 RCB / 16 ch G, 4 ch D)")
+    p.add_argument("--recipe", choices=("st", "flagship"), default="st",
+                   help="GAN-phase loss recipe: st = Adv+Pixel+ST; "
+                        "flagship = Adv+Pixel+PatchwiseST+"
+                        "ContentDiscriminator (reference default weights)")
     p.add_argument("--loss-tol", type=float, default=2e-2,
                    help="max relative per-step loss error over the full run")
     p.add_argument("--param-tol", type=float, default=2e-2,
@@ -587,8 +693,8 @@ def main() -> None:
         # accumulates its own divergence instead of chaos-amplifying the
         # warmup window's fp seed through the GAN feedback loop
         flat = {}
-        for part in ("g0", "g_warm", "d0", "g_final", "d_final"):
-            for k, v in ref[part].items():
+        for part in _STATE_PARTS:
+            for k, v in ref.get(part, {}).items():
                 flat[f"{part}/{k}"] = v
         np.savez_compressed(
             args.emit_golden,
@@ -601,6 +707,7 @@ def main() -> None:
             meta=np.asarray([args.warmup_steps, args.gan_steps, args.batch,
                              args.steps_per_epoch, args.d_interval,
                              args.milestone]),
+            recipe=np.asarray(_recipe(args)),
             **flat,
         )
         print(f"wrote golden to {args.emit_golden}")
@@ -617,7 +724,8 @@ def main() -> None:
         floors["d"] = trace_err(ref["gan_d_losses"], ref_p["gan_d_losses"])["full"]
 
     print("running srgan_st_tpu (jax CPU) ...")
-    got = run_jax(args, warm_data, gan_data, ref["g0"], ref["d0"])
+    got = run_jax(args, warm_data, gan_data, ref["g0"], ref["d0"],
+                  cd0=ref.get("cd0"))
 
     from import_torch_checkpoint import import_discriminator, import_generator
 
