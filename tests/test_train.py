@@ -268,6 +268,55 @@ class TestSharding:
         # sync-BN: pmean'd per-shard stats == global batch stats
         np.testing.assert_allclose(results[True][2], results[False][2], atol=1e-6)
 
+    def test_warmup_step_on_2d_mesh_matches_1d(self, tmp_path):
+        """TP-expressible mesh (SURVEY §2.10): the SAME GSPMD step runs
+        unchanged on a 2-D ('data', 'model') mesh — batch sharded over
+        'data', state replicated (incl. over the unused 'model' axis,
+        where a tensor-parallel sharding would go) — and computes the
+        same update as the 1-D 8-device mesh."""
+        from srgan_st_tpu.data.pipeline import SyntheticPatchSource
+        from srgan_st_tpu.losses.registry import build_warmup_criterions
+        from srgan_st_tpu.models.generator import Generator
+        from srgan_st_tpu.parallel.mesh import make_mesh, replicated, shard_batch
+        from srgan_st_tpu.train.steps import (
+            create_generator_state,
+            make_g_optimizer,
+            make_warmup_step,
+        )
+
+        batch = next(SyntheticPatchSource(16, 32, seed=2).epoch())
+        results = {}
+        for name, shape, axes in (
+            ("1d", (8,), ("data",)),
+            ("2d", (4, 2), ("data", "model")),
+        ):
+            config = tiny_config(tmp_path, f"mesh-{name}", gt_size=32, batch=16)
+            config.TPU.MESH_SHAPE = shape
+            config.TPU.MESH_AXES = axes
+            mesh = make_mesh(config)
+            assert mesh.shape == dict(zip(axes, shape))
+            g_model = Generator.from_config(config)
+            g_tx = make_g_optimizer(config, 4, milestones=False)
+            crits = build_warmup_criterions(config)
+            state = jax.device_put(
+                create_generator_state(config, g_model, g_tx), replicated(mesh)
+            )
+            step = jax.jit(make_warmup_step(config, g_model, crits, g_tx))
+            state, metrics = step(state, shard_batch(batch, mesh))
+            leaf = state.g_params["conv1"]["kernel"]
+            assert len(leaf.sharding.device_set) == 8
+            results[name] = (
+                float(metrics["G_Loss"]),
+                np.asarray(leaf),
+                np.asarray(state.g_stats["bn2"]["mean"]),
+            )
+
+        # GSPMD semantics are sharding-independent: same loss, same
+        # update, same (global) BN stats on either mesh
+        assert results["1d"][0] == pytest.approx(results["2d"][0], rel=1e-6)
+        np.testing.assert_allclose(results["2d"][1], results["1d"][1], atol=1e-6)
+        np.testing.assert_allclose(results["2d"][2], results["1d"][2], atol=1e-6)
+
     def test_gan_chunk_local_bn_packed_shard_map(self, tmp_path):
         """The peak-throughput multi-chip recipe end-to-end: shard_map GAN
         chunk step with TPU.LOCAL_BN (per-shard BN stats in G AND D) and
