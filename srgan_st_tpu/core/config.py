@@ -288,35 +288,94 @@ def _coerce_like(raw: str, current) -> object:
         return raw
 
 
+def parse_driver_cli(argv, description: str,
+                     set_example: str = "--set TPU.COMPUTE_DTYPE=bfloat16") -> Config:
+    """Shared flag surface of the train/warmup driver CLIs.
+
+    Common knobs get first-class flags; ``--set GROUP.FIELD=value``
+    reaches everything else (`apply_overrides`). Returns the built Config.
+    """
+    import argparse
+
+    parser = argparse.ArgumentParser(description=description)
+    parser.add_argument("--exp_name", type=str, default=None)
+    parser.add_argument("--epochs", type=int, default=None)
+    parser.add_argument("--batch_size", type=int, default=None)
+    parser.add_argument("--train_dir", type=str, default=None,
+                        help="training GT images/patches directory")
+    parser.add_argument("--set", action="append", default=[],
+                        metavar="GROUP.FIELD=VALUE",
+                        help="override any config field (repeatable), e.g. "
+                        f"{set_example}")
+    args = parser.parse_args(argv)
+
+    config = Config()
+    if args.exp_name is not None:
+        config.EXP.NAME = args.exp_name
+    if args.epochs is not None:
+        config.EXP.N_EPOCHS = args.epochs
+    if args.batch_size is not None:
+        config.DATA.BATCH_SIZE = args.batch_size
+    if args.train_dir is not None:
+        config.DATA.TRAIN_GT_IMAGES_DIR = args.train_dir
+    return apply_overrides(config, args.set)
+
+
+def _descend(path: str, parts, depth: int, obj, part: str):
+    """Resolve one component of a ``--set`` path with friendly errors.
+
+    Indexes plain dicts (so ``MODEL.G_LOSS.CRITERION_WEIGHTS.Pixel``
+    reaches dict entries) and getattr's config groups; a traversal into a
+    scalar (``DATA.BATCH_SIZE.X``) or a missing key exits with the actual
+    siblings of the node where resolution failed.
+    """
+    prefix = ".".join(parts[:depth]) or "the config root"
+    if isinstance(obj, dict):
+        if part in obj:
+            return obj[part]
+        valid = ", ".join(map(str, obj))
+        raise SystemExit(
+            f"--set {path}: {prefix} has no entry {part!r} (entries: {valid})"
+        )
+    if not hasattr(obj, "__dict__"):
+        raise SystemExit(
+            f"--set {path}: {prefix} is a plain {type(obj).__name__} value "
+            f"and has no sub-field {part!r}"
+        )
+    try:
+        return getattr(obj, part)
+    except AttributeError:
+        valid = ", ".join(k for k in vars(obj) if not k.startswith("_"))
+        raise SystemExit(
+            f"--set {path}: no such config field (siblings: {valid})"
+        ) from None
+
+
 def apply_overrides(config: Config, assignments) -> Config:
     """Apply ``GROUP.FIELD=value`` CLI overrides onto a Config in place.
 
     The dotted path must name an EXISTING field (typo protection: the
     config is code-as-config, so an unknown key is a user error, never a
     new setting) and the value is parsed as the type of the field it
-    replaces. Returns the config for chaining.
+    replaces. Paths may traverse dict-valued fields by key. Returns the
+    config for chaining.
     """
     for assignment in assignments or ():
         path, sep, raw = assignment.partition("=")
         if not sep:
             raise SystemExit(f"--set expects PATH=VALUE, got {assignment!r}")
-        obj = config
         parts = path.split(".")
-        try:
-            for part in parts[:-1]:
-                obj = getattr(obj, part)
-            current = getattr(obj, parts[-1])
-        except (AttributeError, KeyError):
-            valid = ", ".join(
-                k for k in (obj.keys() if isinstance(obj, dict) else vars(obj))
-                if not k.startswith("_")
-            )
-            raise SystemExit(
-                f"--set {path}: no such config field (siblings: {valid})"
-            ) from None
+        obj = config
+        for depth, part in enumerate(parts[:-1]):
+            obj = _descend(path, parts, depth, obj, part)
+        leaf = parts[-1]
+        current = _descend(path, parts, len(parts) - 1, obj, leaf)
         try:
             value = _coerce_like(raw, current)
         except ValueError as e:
             raise SystemExit(f"--set {path}={raw!r}: {e}") from None
-        setattr(obj, parts[-1], value)
+        if isinstance(obj, dict):
+            obj[leaf] = value
+        else:
+            setattr(obj, leaf, value)
     return config

@@ -13,7 +13,7 @@ Example:
 
 from __future__ import annotations
 
-from srgan_st_tpu.core.config import Config, get_jobindex
+from srgan_st_tpu.core.config import Config, apply_overrides, get_jobindex
 from srgan_st_tpu.eval.validate import test
 from srgan_st_tpu.train.train import train
 
@@ -61,6 +61,10 @@ def main(argv=None) -> None:
     parser.add_argument("--job_index", type=int, default=None,
                         help="experiment index; default: the job_index "
                         "environment variable set by the scheduler")
+    parser.add_argument("--set", action="append", default=[],
+                        metavar="GROUP.FIELD=VALUE",
+                        help="override any config field (repeatable), "
+                        "applied AFTER the job-index experiment mutator")
     args = parser.parse_args(argv)
 
     job_index = get_jobindex() if args.job_index is None else args.job_index
@@ -68,6 +72,7 @@ def main(argv=None) -> None:
 
     config = Config()
     config = st_experiment(config, job_index)
+    config = apply_overrides(config, args.set)
 
     train(config)
     test(config, save_images=True)

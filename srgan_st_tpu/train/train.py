@@ -187,36 +187,14 @@ def cli(argv=None) -> None:
     The config is code-as-config (reference config.py); flags cover the
     common knobs and ``--set GROUP.FIELD=value`` reaches everything else.
     """
-    import argparse
+    from srgan_st_tpu.core.config import parse_driver_cli
 
-    from srgan_st_tpu.core.config import Config, apply_overrides
-
-    parser = argparse.ArgumentParser(
+    train(parse_driver_cli(
+        argv,
         description="Adversarial (GAN) training phase. Starts from the "
-        "warmup checkpoint configured in EXP.G_WARMUP_PATH when present."
-    )
-    parser.add_argument("--exp_name", type=str, default=None)
-    parser.add_argument("--epochs", type=int, default=None)
-    parser.add_argument("--batch_size", type=int, default=None)
-    parser.add_argument("--train_dir", type=str, default=None,
-                        help="training GT images/patches directory")
-    parser.add_argument("--set", action="append", default=[],
-                        metavar="GROUP.FIELD=VALUE",
-                        help="override any config field (repeatable), e.g. "
-                        "--set TPU.COMPUTE_DTYPE=bfloat16 "
-                        "--set EXP.N_EPOCHS=20")
-    args = parser.parse_args(argv)
-
-    config = Config()
-    if args.exp_name is not None:
-        config.EXP.NAME = args.exp_name
-    if args.epochs is not None:
-        config.EXP.N_EPOCHS = args.epochs
-    if args.batch_size is not None:
-        config.DATA.BATCH_SIZE = args.batch_size
-    if args.train_dir is not None:
-        config.DATA.TRAIN_GT_IMAGES_DIR = args.train_dir
-    train(apply_overrides(config, args.set))
+        "warmup checkpoint configured in EXP.G_WARMUP_PATH when present.",
+        set_example="--set TPU.COMPUTE_DTYPE=bfloat16 --set EXP.N_EPOCHS=20",
+    ))
 
 
 if __name__ == "__main__":

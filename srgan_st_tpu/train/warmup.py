@@ -147,36 +147,14 @@ def warmup(config):
 def cli(argv=None) -> None:
     """Config-driven CLI for the warmup phase (``python -m srgan_st_tpu
     warmup``); same flag surface as train.cli."""
-    import argparse
+    from srgan_st_tpu.core.config import parse_driver_cli
 
-    from srgan_st_tpu.core.config import Config, apply_overrides
-
-    parser = argparse.ArgumentParser(
+    warmup(parse_driver_cli(
+        argv,
         description="PSNR-oriented SRResNet warmup phase (pixel loss only); "
-        "produces the generator checkpoint the GAN phase starts from."
-    )
-    parser.add_argument("--exp_name", type=str, default=None)
-    parser.add_argument("--epochs", type=int, default=None)
-    parser.add_argument("--batch_size", type=int, default=None)
-    parser.add_argument("--train_dir", type=str, default=None,
-                        help="training GT images/patches directory")
-    parser.add_argument("--set", action="append", default=[],
-                        metavar="GROUP.FIELD=VALUE",
-                        help="override any config field (repeatable), e.g. "
-                        "--set TPU.COMPUTE_DTYPE=bfloat16 "
-                        "--set DATA.AUGMENT=true")
-    args = parser.parse_args(argv)
-
-    config = Config()
-    if args.exp_name is not None:
-        config.EXP.NAME = args.exp_name
-    if args.epochs is not None:
-        config.EXP.N_EPOCHS = args.epochs
-    if args.batch_size is not None:
-        config.DATA.BATCH_SIZE = args.batch_size
-    if args.train_dir is not None:
-        config.DATA.TRAIN_GT_IMAGES_DIR = args.train_dir
-    warmup(apply_overrides(config, args.set))
+        "produces the generator checkpoint the GAN phase starts from.",
+        set_example="--set TPU.COMPUTE_DTYPE=bfloat16 --set DATA.AUGMENT=true",
+    ))
 
 
 if __name__ == "__main__":

@@ -64,6 +64,21 @@ class TestDispatcher:
         assert c.TPU.REMAT is True
         assert c.DATA.GT_IMAGE_SIZE == 48
 
+    def test_run_cli_applies_overrides_after_experiment_mutator(self, monkeypatch):
+        import srgan_st_tpu.main as run_mod
+
+        captured = {}
+        monkeypatch.setattr(
+            run_mod, "train", lambda config: captured.setdefault("c", config)
+        )
+        monkeypatch.setattr(
+            run_mod, "test", lambda config, save_images: None
+        )
+        run_mod.main(["--job_index", "1", "--set", "EXP.N_EPOCHS=2"])
+        c = captured["c"]
+        assert c.EXP.NAME == "patchwise-st-disc"  # job 1 mutator ran
+        assert c.EXP.N_EPOCHS == 2                # then the override
+
     def test_warmup_cli_applies_overrides(self, monkeypatch):
         import importlib
 
@@ -103,6 +118,28 @@ class TestApplyOverrides:
     def test_list_literal(self):
         c = apply_overrides(Config(), ["SCHEDULER.MILESTONES=[1, 2]"])
         assert c.SCHEDULER.MILESTONES == [1, 2]
+
+    def test_dict_entry_is_reachable(self):
+        # existing keys only: typo protection applies to dict entries too
+        # (adding criterions is add_g_criterion's job, not --set's)
+        c = apply_overrides(Config(), [
+            "MODEL.G_LOSS.CRITERION_WEIGHTS.Pixel=2.0",          # float entry
+            "MODEL.G_LOSS.CRITERIONS.Adversarial={'kind': 'adversarial', 'smoothing': 0.2}",
+        ])
+        assert c.MODEL.G_LOSS.CRITERION_WEIGHTS["Pixel"] == pytest.approx(2.0)
+        assert c.MODEL.G_LOSS.CRITERIONS["Adversarial"] == {
+            "kind": "adversarial", "smoothing": 0.2}
+
+    def test_missing_dict_entry_lists_real_entries(self):
+        with pytest.raises(SystemExit) as e:
+            apply_overrides(Config(), ["MODEL.G_LOSS.CRITERIONS.Pixl=x"])
+        msg = str(e.value)
+        assert "Adversarial" in msg and "Pixl" not in msg.split("(entries:")[1]
+
+    def test_traversal_through_scalar_is_a_friendly_error(self):
+        with pytest.raises(SystemExit) as e:
+            apply_overrides(Config(), ["DATA.BATCH_SIZE.X=1"])
+        assert "plain int value" in str(e.value)
 
     def test_unknown_field_is_an_error_with_siblings(self):
         with pytest.raises(SystemExit) as e:

@@ -1,8 +1,9 @@
 """tools/tpu_health.py wedge diagnosis (pure logic; no device claims)."""
 
+import os
 import sys
 
-sys.path.insert(0, "tools")
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(__file__)), "tools"))
 
 from tpu_health import diagnose  # noqa: E402
 

@@ -43,7 +43,9 @@ dependency on the critical path.
 from __future__ import annotations
 
 import argparse
+import atexit
 import os
+import shutil
 import sys
 import tempfile
 import types
@@ -427,9 +429,9 @@ def run_jax(args, warm_data: np.ndarray, gan_data: np.ndarray,
         from srgan_st_tpu.train.checkpoint import save_variables_npz
 
         cd_vars = _imp_d(cd0, channels=config.MODEL.D_N_CHANNEL)
-        cd_path = os.path.join(
-            tempfile.mkdtemp(prefix="srgan_traj_cd_"), "content_d.npz"
-        )
+        cd_dir = tempfile.mkdtemp(prefix="srgan_traj_cd_")
+        atexit.register(shutil.rmtree, cd_dir, ignore_errors=True)
+        cd_path = os.path.join(cd_dir, "content_d.npz")
         save_variables_npz(cd_path, cd_vars)
         config.MODEL.G_LOSS.DISC_FEATURES_WEIGHTS = cd_path
     else:

@@ -52,6 +52,13 @@ def probe() -> dict:
         y.block_until_ready()
         result["jit_s"] = round(time.time() - t1, 1)
         result["ok"] = True
+    except KeyboardInterrupt:
+        # The user cancelled mid-claim. Record it so the retry loop STOPS:
+        # launching another claim the user will also interrupt is exactly
+        # the killed-mid-claim pattern that re-arms the wedge.
+        result["claim_s"] = round(time.time() - t0, 1)
+        result["error"] = "KeyboardInterrupt"
+        result["interrupted"] = True
     except BaseException as e:  # noqa: BLE001 — report anything, exit cleanly
         result["claim_s"] = round(time.time() - t0, 1)
         result["error"] = f"{type(e).__name__}: {e}"
@@ -111,6 +118,11 @@ def main(argv=None) -> None:
             print(f"probe {i + 1}/{args.retries}: {status} "
                   f"after {r['claim_s']}s", flush=True)
         if r["ok"]:
+            break
+        if r.get("interrupted"):
+            if not args.json:
+                print("interrupted by user — stopping (no further claim "
+                      "attempts; see module docstring)", flush=True)
             break
 
     verdict = diagnose(results)
