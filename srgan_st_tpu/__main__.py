@@ -18,6 +18,7 @@ Usage:
     python -m srgan_st_tpu prepare-dataset  # raster-tile + pack patches
     python -m srgan_st_tpu curves ...       # training-curve plots
     python -m srgan_st_tpu feature-maps ... # content-loss feature viz
+    python -m srgan_st_tpu doctor           # accelerator health probe
 """
 
 from __future__ import annotations
@@ -63,6 +64,10 @@ _COMMANDS: dict[str, tuple[str, str, str]] = {
     "feature-maps": (
         "srgan_st_tpu.viz.feature_maps", "main",
         "visualize content-loss feature maps for an image pair",
+    ),
+    "doctor": (
+        "srgan_st_tpu.utils.tpu_health", "main",
+        "probe accelerator claimability and diagnose wedged runtimes",
     ),
 }
 

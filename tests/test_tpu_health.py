@@ -1,11 +1,6 @@
-"""tools/tpu_health.py wedge diagnosis (pure logic; no device claims)."""
+"""TPU health probe (srgan_st_tpu.utils.tpu_health) wedge diagnosis (pure logic; no device claims)."""
 
-import os
-import sys
-
-sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(__file__)), "tools"))
-
-from tpu_health import diagnose  # noqa: E402
+from srgan_st_tpu.utils.tpu_health import diagnose
 
 
 def _ok(claim_s=3.0, jit_s=0.5):

@@ -1,138 +1,8 @@
-"""TPU health probe: is the chip claimable, and if not, what's wrong?
+"""Shim: the TPU health probe moved into the package so the unified CLI
+can route it (``python -m srgan_st_tpu doctor``). This path keeps the
+documented ``python tools/tpu_health.py`` invocation working."""
 
-Operational tool for the failure mode documented in ROUND3.md ("TPU wedge
-note"): on pooled/tunneled TPU runtimes (e.g. the axon platform), a client
-killed mid-claim or mid-compile leaves a server-side session grant that
-expires slowly; until it does, every new client blocks in the claim leg
-and then fails UNAVAILABLE after a constant server-side timeout (~25 min
-observed). Symptoms and remedies this tool encodes:
-
-- A healthy chip claims + compiles a tiny jit in seconds.
-- A constant time-to-failure across attempts (±few s) is a server-side
-  claim timeout, i.e. a wedged session lock — NOT load. Retrying in a
-  tight loop makes it worse; each killed retry re-arms the lock.
-- Remedy: stop ALL clients, wait out the grant expiry, then send ONE
-  clean-exit probe (this tool). Never SIGKILL/timeout a probe: a probe
-  must exit cleanly even on failure so it doesn't re-arm the wedge.
-
-Usage:
-    python tools/tpu_health.py                # one clean probe, verdict
-    python tools/tpu_health.py --retries 5 --spacing 120
-    python tools/tpu_health.py --json         # machine-readable line
-
-Exit code 0 = chip usable; 1 = unavailable (diagnosis on stdout).
-This process never installs signal-based timeouts around the claim: the
-claim either completes or fails server-side, and the process exits
-cleanly either way (the whole point — see above).
-"""
-
-from __future__ import annotations
-
-import argparse
-import json
-import sys
-import time
-
-
-def probe() -> dict:
-    """One clean claim attempt. Returns a result dict; never raises."""
-    t0 = time.time()
-    result = {"ok": False, "claim_s": None, "jit_s": None, "error": None,
-              "devices": None}
-    try:
-        import jax
-
-        devices = jax.devices()
-        result["devices"] = [str(d) for d in devices]
-        result["claim_s"] = round(time.time() - t0, 1)
-        import jax.numpy as jnp
-
-        t1 = time.time()
-        y = jax.jit(lambda a: a * 2 + 1)(jnp.ones((8, 128)))
-        y.block_until_ready()
-        result["jit_s"] = round(time.time() - t1, 1)
-        result["ok"] = True
-    except KeyboardInterrupt:
-        # The user cancelled mid-claim. Record it so the retry loop STOPS:
-        # launching another claim the user will also interrupt is exactly
-        # the killed-mid-claim pattern that re-arms the wedge.
-        result["claim_s"] = round(time.time() - t0, 1)
-        result["error"] = "KeyboardInterrupt"
-        result["interrupted"] = True
-    except BaseException as e:  # noqa: BLE001 — report anything, exit cleanly
-        result["claim_s"] = round(time.time() - t0, 1)
-        result["error"] = f"{type(e).__name__}: {e}"
-    return result
-
-
-def diagnose(results: list[dict]) -> str:
-    """Human verdict from one or more probe results."""
-    last = results[-1]
-    if last["ok"]:
-        if last["claim_s"] > 120:
-            return (
-                f"USABLE but slow claim ({last['claim_s']}s): another "
-                "client's compile may be draining in the tunnel; expect "
-                "serialized compiles until it finishes."
-            )
-        return f"USABLE (claim {last['claim_s']}s, tiny jit {last['jit_s']}s)"
-    fails = [r["claim_s"] for r in results if not r["ok"]]
-    if len(fails) >= 2 and max(fails) - min(fails) < 30 and min(fails) > 600:
-        return (
-            f"WEDGED: {len(fails)} failures at a constant ~{int(sum(fails) / len(fails))}s "
-            "= server-side claim timeout (stale session grant). Stop ALL "
-            "clients, wait >1h with zero claim attempts, then send ONE "
-            "clean probe. Do NOT retry in a loop."
-        )
-    if fails and fails[-1] > 600:
-        return (
-            f"UNAVAILABLE after {fails[-1]}s (claim-leg timeout). Likely a "
-            "stale session grant from a killed client; re-probe ONCE after "
-            "a quiet period rather than looping."
-        )
-    return f"UNAVAILABLE: {last['error']}"
-
-
-def main(argv=None) -> None:
-    parser = argparse.ArgumentParser(
-        description="Probe TPU claimability with clean-exit clients and "
-        "diagnose the pooled-runtime wedge failure mode."
-    )
-    parser.add_argument("--retries", type=int, default=1,
-                        help="max probe attempts (default 1; keep small — "
-                        "failed claims are ~25 min each on a wedged chip)")
-    parser.add_argument("--spacing", type=float, default=60.0,
-                        help="seconds between attempts")
-    parser.add_argument("--json", action="store_true",
-                        help="emit one JSON line instead of prose")
-    args = parser.parse_args(argv)
-
-    results: list[dict] = []
-    for i in range(max(1, args.retries)):
-        if i:
-            time.sleep(args.spacing)
-        r = probe()
-        results.append(r)
-        if not args.json:
-            status = "ok" if r["ok"] else f"fail ({r['error']})"
-            print(f"probe {i + 1}/{args.retries}: {status} "
-                  f"after {r['claim_s']}s", flush=True)
-        if r["ok"]:
-            break
-        if r.get("interrupted"):
-            if not args.json:
-                print("interrupted by user — stopping (no further claim "
-                      "attempts; see module docstring)", flush=True)
-            break
-
-    verdict = diagnose(results)
-    if args.json:
-        print(json.dumps({"ok": results[-1]["ok"], "verdict": verdict,
-                          "probes": results}))
-    else:
-        print(verdict)
-    sys.exit(0 if results[-1]["ok"] else 1)
-
+from srgan_st_tpu.utils.tpu_health import diagnose, main, probe  # noqa: F401
 
 if __name__ == "__main__":
     main()
