@@ -82,6 +82,61 @@ def _put_or_stop(q: queue.Queue, item, stop: threading.Event) -> bool:
     return False
 
 
+def _prefetched(n_items: int, make_item, prefetch: int):
+    """Generator yielding ``make_item(0..n_items-1)`` built on a background
+    thread through a bounded queue.
+
+    One implementation of the producer/sentinel/exception/shutdown
+    protocol for every source: item construction (decode, mmap gather,
+    optional device transfer) overlaps the consumer's dispatch loop;
+    exceptions propagate to the consumer; abandoning the generator stops
+    the producer promptly (`_put_or_stop`) instead of leaking the thread."""
+    q: queue.Queue = queue.Queue(maxsize=max(1, prefetch))
+    stop = threading.Event()
+
+    def producer():
+        try:
+            for i in range(n_items):
+                if stop.is_set():
+                    return
+                if not _put_or_stop(q, make_item(i), stop):
+                    return
+            _put_or_stop(q, None, stop)
+        except Exception as e:  # propagate decode/IO errors to the consumer
+            _put_or_stop(q, e, stop)
+
+    threading.Thread(target=producer, daemon=True).start()
+    try:
+        while True:
+            item = q.get()
+            if item is None:
+                return
+            if isinstance(item, Exception):
+                raise item
+            yield item
+    finally:
+        stop.set()
+
+
+def _locality_gather(pack: np.ndarray, idx: np.ndarray) -> np.ndarray:
+    """Fancy-index `idx` rows out of the (mmap'd) pack with page-sequential
+    reads, PRESERVING the caller's row order.
+
+    Gathering in sorted order keeps cold-mmap page faults sequential; the
+    scatter-back restores the random order. Returning the batch sorted
+    (one copy cheaper) is NOT an option: contiguous process/device shares
+    of a sorted batch are index-correlated (a pack stores same-image tiles
+    contiguously), which silently biases per-shard BN statistics under
+    TPU.LOCAL_BN — shard composition must stay as random as the
+    permutation that produced it."""
+    flat = idx.reshape(-1)
+    order = np.argsort(flat, kind="stable")
+    gathered = pack[flat[order]]
+    out = np.empty_like(gathered)
+    out[order] = gathered
+    return out.reshape(*idx.shape, *pack.shape[1:])
+
+
 class TrainPatchSource:
     """Streams shuffled uint8 NHWC GT-patch batches from a directory of
     pre-tiled HR patches (the output of prepare_dataset.py)."""
@@ -93,6 +148,13 @@ class TrainPatchSource:
         self.files = _list_images(gt_dir)
         if not self.files:
             raise FileNotFoundError(f"no images under {gt_dir}")
+        if len(self.files) < batch_size:
+            # drop_last semantics would yield ZERO batches per epoch and
+            # the training loop would silently no-op through every epoch
+            raise ValueError(
+                f"dataset smaller than one global batch: {len(self.files)} "
+                f"patches under {gt_dir} < batch_size {batch_size}"
+            )
         self.batch_size = batch_size  # GLOBAL batch size
         # multi-host: each process decodes only its slice of every batch
         self._pslice = _DeferredProcessSlice(batch_size, process_index,
@@ -136,36 +198,13 @@ class TrainPatchSource:
             epoch_idx = self._epoch_counter
         self._epoch_counter = epoch_idx + 1
         order = np.random.default_rng((self.seed, epoch_idx)).permutation(len(self.files))
-        n_batches = len(self)
-        q: queue.Queue = queue.Queue(maxsize=self.prefetch)
-        stop = threading.Event()
 
-        def producer():
-            try:
-                for b in range(n_batches):
-                    if stop.is_set():
-                        return
-                    idx = order[b * self.batch_size:(b + 1) * self.batch_size]
-                    idx = idx[self._pslice.get()]  # this process's share
-                    batch = self._load_batch([self.files[i] for i in idx])
-                    if not _put_or_stop(q, batch, stop):
-                        return
-                _put_or_stop(q, None, stop)
-            except Exception as e:  # propagate decode errors to the consumer
-                _put_or_stop(q, e, stop)
+        def make_batch(b: int) -> np.ndarray:
+            idx = order[b * self.batch_size:(b + 1) * self.batch_size]
+            idx = idx[self._pslice.get()]  # this process's share
+            return self._load_batch([self.files[i] for i in idx])
 
-        t = threading.Thread(target=producer, daemon=True)
-        t.start()
-        try:
-            while True:
-                item = q.get()
-                if item is None:
-                    return
-                if isinstance(item, Exception):
-                    raise item
-                yield item
-        finally:
-            stop.set()
+        yield from _prefetched(len(self), make_batch, self.prefetch)
 
 
 class SyntheticPatchSource:
@@ -216,6 +255,13 @@ class PackedPatchSource:
         self.pack = np.load(pack_path, mmap_mode="r")
         if self.pack.ndim != 4 or self.pack.dtype != np.uint8:
             raise ValueError(f"not a patch pack: {pack_path} {self.pack.shape}")
+        if self.pack.shape[0] < batch_size:
+            # drop_last semantics would yield ZERO batches per epoch and
+            # the training loop would silently no-op through every epoch
+            raise ValueError(
+                f"pack smaller than one global batch: {self.pack.shape[0]} "
+                f"patches in {pack_path} < batch_size {batch_size}"
+            )
         self.batch_size = batch_size
         self.patch_size = int(self.pack.shape[1])
         self.seed = seed
@@ -242,41 +288,12 @@ class PackedPatchSource:
 
     def epoch(self, epoch_idx: int | None = None):
         order, n_batches = self._epoch_order(epoch_idx)
-        q: queue.Queue = queue.Queue(maxsize=max(1, self.prefetch))
-        stop = threading.Event()
 
-        def producer():
-            try:
-                for b in range(n_batches):
-                    if stop.is_set():
-                        return
-                    # sort the GLOBAL batch for mmap locality, then take
-                    # this process's contiguous share (disjoint across
-                    # processes)
-                    idx = np.sort(
-                        order[b * self.batch_size:(b + 1) * self.batch_size]
-                    )
-                    batch = np.ascontiguousarray(
-                        self.pack[idx[self._pslice.get()]]
-                    )
-                    if not _put_or_stop(q, batch, stop):
-                        return
-                _put_or_stop(q, None, stop)
-            except Exception as e:  # propagate IO errors to the consumer
-                _put_or_stop(q, e, stop)
+        def make_batch(b: int) -> np.ndarray:
+            idx = order[b * self.batch_size:(b + 1) * self.batch_size]
+            return _locality_gather(self.pack, idx[self._pslice.get()])
 
-        t = threading.Thread(target=producer, daemon=True)
-        t.start()
-        try:
-            while True:
-                item = q.get()
-                if item is None:
-                    return
-                if isinstance(item, Exception):
-                    raise item
-                yield item
-        finally:
-            stop.set()
+        yield from _prefetched(n_batches, make_batch, self.prefetch)
 
     def epoch_chunks(self, epoch_idx: int | None, chunk_size: int, put=None):
         """Chunk-native epoch: yield (K, B, S, S, 3) stacked chunks built
@@ -291,47 +308,24 @@ class PackedPatchSource:
         device-ready chunks.
 
         Batch composition is IDENTICAL to epoch() + chunking: batch b is
-        order[b*B:(b+1)*B] of the (seed, epoch)-keyed permutation, indices
-        sorted within each batch for mmap locality (a batch is a set), each
-        process keeping its contiguous share — deterministic-resume parity
-        is pinned by test_data.py::test_epoch_chunks_matches_epoch."""
+        order[b*B:(b+1)*B] of the (seed, epoch)-keyed permutation in
+        permutation order (gathers run page-sequentially internally, see
+        `_locality_gather`), each process keeping its contiguous share —
+        deterministic-resume parity is pinned by
+        test_data.py::test_epoch_chunks_matches_epoch."""
         order, n_batches = self._epoch_order(epoch_idx)
-        q: queue.Queue = queue.Queue(maxsize=max(1, self.prefetch))
-        stop = threading.Event()
+        n_chunks = -(-n_batches // chunk_size)
 
-        def producer():
-            try:
-                for start in range(0, n_batches, chunk_size):
-                    if stop.is_set():
-                        return
-                    k = min(chunk_size, n_batches - start)
-                    idx = order[start * self.batch_size:
-                                (start + k) * self.batch_size]
-                    idx = np.sort(idx.reshape(k, self.batch_size), axis=1)
-                    idx = idx[:, self._pslice.get()]
-                    chunk = self.pack[idx.reshape(-1)].reshape(
-                        k, idx.shape[1], *self.pack.shape[1:]
-                    )
-                    if not _put_or_stop(
-                        q, put(chunk) if put is not None else chunk, stop
-                    ):
-                        return
-                _put_or_stop(q, None, stop)
-            except Exception as e:  # propagate IO errors to the consumer
-                _put_or_stop(q, e, stop)
+        def make_chunk(ci: int):
+            start = ci * chunk_size
+            k = min(chunk_size, n_batches - start)
+            idx = order[start * self.batch_size:
+                        (start + k) * self.batch_size]
+            idx = idx.reshape(k, self.batch_size)[:, self._pslice.get()]
+            chunk = _locality_gather(self.pack, idx)
+            return put(chunk) if put is not None else chunk
 
-        t = threading.Thread(target=producer, daemon=True)
-        t.start()
-        try:
-            while True:
-                item = q.get()
-                if item is None:
-                    return
-                if isinstance(item, Exception):
-                    raise item
-                yield item
-        finally:
-            stop.set()
+        yield from _prefetched(n_chunks, make_chunk, self.prefetch)
 
     def _resident(self, mesh):
         """Stage the whole pack in HBM (replicated over `mesh`) and build
@@ -383,9 +377,12 @@ class PackedPatchSource:
         (1600, 96, 96, 3) uint8 take at HBM bandwidth (~0.1 ms).
 
         Batch composition is bit-identical to epoch()/epoch_chunks (same
-        (seed, epoch)-keyed permutation, per-batch index sort, per-process
+        (seed, epoch)-keyed permutation in permutation order, per-process
         contiguous share) — pinned by
-        test_data.py::test_epoch_chunks_device_matches_host."""
+        test_data.py::test_epoch_chunks_device_matches_host. No index sort
+        anywhere: the HBM take is order-insensitive, and random order is
+        load-bearing — contiguous device shards of a sorted batch would be
+        index-correlated, biasing per-shard BN stats under TPU.LOCAL_BN."""
         from srgan_st_tpu.parallel.mesh import shard_chunk
 
         order, n_batches = self._epoch_order(epoch_idx)
@@ -394,7 +391,7 @@ class PackedPatchSource:
             k = min(chunk_size, n_batches - start)
             idx = order[start * self.batch_size:
                         (start + k) * self.batch_size]
-            idx = np.sort(idx.reshape(k, self.batch_size), axis=1)
+            idx = idx.reshape(k, self.batch_size)
             idx = idx[:, self._pslice.get()].astype(np.int32)
             yield gather_jit(dev_pack, shard_chunk(idx, mesh))
 

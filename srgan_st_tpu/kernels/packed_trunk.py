@@ -459,7 +459,15 @@ def _prep(x, w1s, w2s, g1s, b1s, g2s, b2s):
 def packed_trunk(x, w1s, w2s, g1s, b1s, g2s, b2s, als, eps=1e-5,
                  interpret=False):
     """Drop-in for fused_trunk: x (B,H,W,C) + stacked per-block params ->
-    (y, stats) with stats (N, 4, C) biased fp32 batch stats for the EMA."""
+    (y, stats) with stats (N, 4, C) biased fp32 batch stats for the EMA.
+
+    GRADIENT CONTRACT: the stats output is non-differentiable — its
+    cotangent is discarded by the custom vjp (same convention as flax
+    running batch_stats, which are EMA side-state outside autodiff; the
+    Generator consumes stats only for the EMA update). A loss that
+    differentiates through stats gets a zero gradient from that term;
+    wrap stats in `lax.stop_gradient` at the consumer to make the intent
+    explicit (tools/bench_trunk.py does)."""
     (y, _, _, _, stats), _ = _fwd_impl(
         x, w1s, w2s, g1s, b1s, g2s, b2s, als, eps, interpret
     )

@@ -124,7 +124,7 @@ def make_vgg19_frozen_pair(variables: dict, taps: tuple[str, ...], dtype):
     """
     import jax
 
-    from srgan_st_tpu.ops.fastgrad import stem_image_grad
+    from srgan_st_tpu.ops.fastgrad import _conv3x3_same, stem_image_grad
 
     deepest = max(int(t.split(".")[1]) for t in taps)
     params = variables["params"]
@@ -137,13 +137,8 @@ def make_vgg19_frozen_pair(variables: dict, taps: tuple[str, ...], dtype):
             )
 
     def _conv(x, idx):
-        from jax import lax
-
         w, bias = convs[idx]
-        dn = lax.conv_dimension_numbers(x.shape, w.shape, ("NHWC", "HWIO", "NHWC"))
-        return lax.conv_general_dilated(
-            x, w, (1, 1), "SAME", dimension_numbers=dn
-        ) + bias
+        return _conv3x3_same(x, w, bias)
 
     def _dgrad(ct, idx):
         # input gradient of a SAME 3x3/s1 conv == conv with the spatially
@@ -151,13 +146,7 @@ def make_vgg19_frozen_pair(variables: dict, taps: tuple[str, ...], dtype):
         w, _ = convs[idx]
         if w.shape[2] <= 8:  # the 3->64 stem: packed-GEMM formulation
             return stem_image_grad(ct, w)
-        return _conv_like(ct, w[::-1, ::-1].swapaxes(2, 3))
-
-    def _conv_like(x, w):
-        from jax import lax
-
-        dn = lax.conv_dimension_numbers(x.shape, w.shape, ("NHWC", "HWIO", "NHWC"))
-        return lax.conv_general_dilated(x, w, (1, 1), "SAME", dimension_numbers=dn)
+        return _conv3x3_same(ct, w[::-1, ::-1].swapaxes(2, 3), None)
 
     def _run(x, b):
         """Shared forward walk; returns (sr_feats, gt_feats, residuals) with

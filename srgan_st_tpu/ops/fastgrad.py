@@ -58,7 +58,7 @@ def stem_conv3x3(x, w, b):
 
 
 def _stem_fwd(x, w, b):
-    return _conv3x3_same(x, w, b), (x, w)
+    return _conv3x3_same(x, w, b), (x, w, b is None)
 
 
 def stem_image_grad(ct, w):
@@ -68,6 +68,11 @@ def stem_image_grad(ct, w):
     K axis; the 9 statically-shifted adds accumulate in f32."""
     bsz, h, width, _ = ct.shape
     kh, kw, cin, cout = w.shape
+    if (kh, kw) != (3, 3):
+        # the pad width (1) and the `2 - p` slice starts below are 3x3
+        # constants; a larger kernel would wrap slices from the array end
+        # and return silently wrong gradients
+        raise ValueError(f"stem_image_grad is 3x3-only, got {kh}x{kw}")
     wm = jnp.moveaxis(w, -1, 0).reshape(cout, kh * kw * cin)
     y2 = lax.dot_general(ct, wm, (((3,), (0,)), ((), ())))
     y2 = y2.reshape(bsz, h, width, kh, kw, cin)
@@ -82,10 +87,12 @@ def stem_image_grad(ct, w):
 
 
 def _stem_bwd(res, ct):
-    x, w = res
+    x, w, bias_is_none = res
     dx = stem_image_grad(ct, w)
     # dw via XLA's own conv-wgrad lowering (DCE'd when the stem is frozen)
     dw = jax.vjp(lambda w_: _conv3x3_same(x, w_, None), w)[1](ct)[0]
+    if bias_is_none:  # cotangent structure must match the None input
+        return dx, dw, None
     db = ct.astype(jnp.float32).sum((0, 1, 2)).astype(ct.dtype)
     return dx, dw, db
 

@@ -187,6 +187,36 @@ class TestSources:
                                 device_cache="auto", device_cache_budget=64)
         assert small.device_cache and not big.device_cache
 
+    def test_batch_order_is_the_raw_permutation(self, tmp_path, rng):
+        """Batches must arrive in (seed, epoch)-permutation order, NOT
+        index-sorted: contiguous process/device shares of a sorted batch
+        are index-correlated (a pack stores same-image tiles contiguously),
+        which would bias per-shard BN statistics under TPU.LOCAL_BN."""
+        pack_arr = rng.integers(0, 256, (32, 8, 8, 3), np.uint8)
+        pack = tmp_path / "patches.pack.npy"
+        np.save(pack, pack_arr)
+        src = PackedPatchSource(str(pack), batch_size=8, seed=3)
+        order = np.random.default_rng((3, 0)).permutation(32)
+        for b, batch in enumerate(src.epoch(0)):
+            np.testing.assert_array_equal(
+                batch, pack_arr[order[b * 8:(b + 1) * 8]]
+            )
+
+    def test_smaller_than_one_batch_fails_fast(self, tmp_path, rng):
+        """A dataset below the global batch size would yield ZERO batches
+        (drop_last) and the training loop would silently no-op; the
+        constructor must reject it instead."""
+        import pytest
+
+        pack = tmp_path / "patches.pack.npy"
+        np.save(pack, rng.integers(0, 256, (4, 8, 8, 3), np.uint8))
+        with pytest.raises(ValueError, match="smaller than one global batch"):
+            PackedPatchSource(str(pack), batch_size=8)
+        d = str(tmp_path / "imgs")
+        _write_images(d, n=2, h=96, w=96, rng=rng)
+        with pytest.raises(ValueError, match="smaller than one global batch"):
+            TrainPatchSource(d, batch_size=4, num_workers=1)
+
     def test_synthetic_deterministic(self):
         a = list(SyntheticPatchSource(2, 16, n_batches=3, seed=1).epoch())
         b = list(SyntheticPatchSource(2, 16, n_batches=3, seed=1).epoch())

@@ -41,6 +41,33 @@ class TestStemConv:
         np.testing.assert_allclose(np.asarray(gw), np.asarray(rw), rtol=1e-5, atol=1e-5)
         np.testing.assert_allclose(np.asarray(gb), np.asarray(rb), rtol=1e-5, atol=1e-5)
 
+    def test_biasless_grad(self, rng):
+        """b=None is a legal forward; its backward must return a None
+        cotangent (an array db against a None input is a custom_vjp
+        structure mismatch crash)."""
+        x = jnp.asarray(rng.standard_normal((1, 8, 8, 3), np.float32))
+        w = jnp.asarray(rng.standard_normal((3, 3, 3, 8), np.float32))
+        gx, gw = jax.grad(
+            lambda x_, w_: stem_conv3x3(x_, w_, None).sum(), (0, 1)
+        )(x, w)
+        rx, rw = jax.grad(
+            lambda x_, w_: _conv3x3_same(x_, w_, None).sum(), (0, 1)
+        )(x, w)
+        np.testing.assert_allclose(np.asarray(gx), np.asarray(rx), rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(gw), np.asarray(rw), rtol=1e-5, atol=1e-5)
+
+    def test_image_grad_rejects_non_3x3(self, rng):
+        """The overlap-add offsets are 3x3 constants; a 5x5 kernel would
+        silently wrap slices from the array end instead of erroring."""
+        import pytest
+
+        from srgan_st_tpu.ops.fastgrad import stem_image_grad
+
+        ct = jnp.asarray(rng.standard_normal((1, 8, 8, 4), np.float32))
+        w5 = jnp.asarray(rng.standard_normal((5, 5, 3, 4), np.float32))
+        with pytest.raises(ValueError, match="3x3-only"):
+            stem_image_grad(ct, w5)
+
     def test_module_params_match_nn_conv(self, rng):
         """Same name/init/shape param tree as the nn.Conv it replaces, and
         the same forward (CPU path) — checkpoints stay interchangeable."""

@@ -40,6 +40,12 @@ def chain(fn, x, n):
 
 
 # --- forward only -----------------------------------------------------------
+# NOTE: the packed forward row UNDER-reports the kernel — packed_trunk's
+# primal always runs the residual-saving kernel (xs/a1s/a2s HBM writes
+# that only the backward consumes; pallas_call outputs are not DCE'd by
+# XLA). The training direction (value+grad below) is the number that
+# matters; eval-mode inference never routes through the kernel
+# (Generator._trunk: eval is always unfused).
 @jax.jit
 def fwd_ref(x):
     y, st = trunk_reference(x, *args)
@@ -56,6 +62,11 @@ def fwd_pk(x):
 def make_vg(trunk):
     def loss(x, w1s, w2s, g1s, b1s, g2s, b2s, als):
         y, st = trunk(x, w1s, w2s, g1s, b1s, g2s, b2s, als)
+        # st is kept alive (no DCE of the stats outputs) but NOT
+        # differentiated: packed_trunk's vjp drops the stats cotangent by
+        # contract, so differentiating st in the reference path only would
+        # make the two benchmarked gradients mathematically different
+        st = jax.lax.stop_gradient(st)
         return jnp.sum(y.astype(jnp.float32) ** 2) + 1e-6 * jnp.sum(st)
 
     vg = jax.value_and_grad(loss, argnums=tuple(range(8)))
