@@ -18,8 +18,16 @@ import jax  # noqa: E402
 # platform; the config update wins as long as no backend is initialized yet.
 jax.config.update("jax_platforms", "cpu")
 
+import sys  # noqa: E402
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
+
+# tools/ scripts (converters, crosscheck harnesses) are imported by tests;
+# resolve them relative to the repo, not the invocation cwd
+_TOOLS = os.path.join(os.path.dirname(os.path.dirname(__file__)), "tools")
+if _TOOLS not in sys.path:
+    sys.path.insert(0, _TOOLS)
 
 
 def pytest_sessionstart(session):

@@ -16,8 +16,7 @@ from srgan_st_tpu.models.discriminator import Discriminator
 from srgan_st_tpu.models.generator import Generator
 from tests.reference_impls import TorchSRGANDiscriminator, TorchSRResNet
 
-import sys
-sys.path.insert(0, "tools")
+# tools/ is on sys.path via conftest (repo-relative, cwd-safe)
 from import_torch_checkpoint import (  # noqa: E402
     _strip_compile_prefix,
     import_discriminator,

@@ -1,6 +1,8 @@
 """Parity tests for the loss zoo against torch-CPU goldens replicating the
 reference loss.py forwards."""
 
+import os
+
 import numpy as np
 import pytest
 import torch
@@ -11,7 +13,7 @@ from srgan_st_tpu.core.config import Config
 from srgan_st_tpu import losses
 
 # Stored golden loss values (see tests/goldens/README.md)
-GOLD = np.load("tests/goldens/reference_goldens.npz")
+GOLD = np.load(os.path.join(os.path.dirname(__file__), "goldens", "reference_goldens.npz"))
 
 
 def _pair(rng, size=24):
@@ -151,10 +153,9 @@ class TestRegistry:
 class TestVGGConverter:
     def test_convert_and_load_roundtrip(self, tmp_path, rng):
         """Fabricated torch-format VGG19 state dict -> npz -> flax apply."""
-        import sys
         import torch
 
-        sys.path.insert(0, "tools")
+        # tools/ is on sys.path via conftest
         from convert_vgg19 import convert
 
         from srgan_st_tpu.models.vgg import VGG19Features, load_vgg19_npz
@@ -203,9 +204,7 @@ class TestVGGConverter:
         """The checked-in manifest must equal the architecture-derived
         shapes (it is generated from expected_torch_shapes())."""
         import json
-        import sys
-
-        sys.path.insert(0, "tools")
+        # tools/ is on sys.path via conftest
         from convert_vgg19 import DEFAULT_MANIFEST
 
         from srgan_st_tpu.models.vgg import expected_torch_shapes
@@ -220,11 +219,9 @@ class TestVGGConverter:
     def test_manifest_verification(self, tmp_path):
         """A full fabricated IMAGENET1K_V1-shaped state dict passes
         verification (sans hash); wrong shapes error informatively."""
-        import sys
-
         import torch
 
-        sys.path.insert(0, "tools")
+        # tools/ is on sys.path via conftest
         from convert_vgg19 import DEFAULT_MANIFEST, convert, verify_against_manifest
 
         from srgan_st_tpu.models.vgg import expected_torch_shapes
@@ -252,3 +249,84 @@ class TestVGGConverter:
             verify_against_manifest(bad, DEFAULT_MANIFEST)
         assert "features.0.weight" in str(e.value)
         assert "missing tensor features.34.bias" in str(e.value)
+
+    def test_full_path_matches_executed_torch_semantics(self, tmp_path, rng):
+        """Executed-reference parity for the whole perceptual path with
+        random weights: a torch VGG19 `features` trunk built to the
+        published architecture (same Sequential indices as torchvision),
+        taps read with forward hooks (create_feature_extractor semantics
+        for module-level nodes), inputs ImageNet-normalized, per-tap
+        weighted MSE summed — reference loss.py:60-69 executed — must
+        equal content_loss_vgg through tools/convert_vgg19 +
+        VGG19Features on the SAME weights. torchvision itself isn't
+        installed; this pins every semantic EXCEPT the pretrained values:
+        the conv/relu/pool walk, tap node indexing, normalization
+        constants, criterion and weighting."""
+        import torch
+        import torch.nn.functional as tF
+        from torch import nn as tnn
+
+        # tools/ is on sys.path via conftest
+        from convert_vgg19 import convert
+
+        from srgan_st_tpu.losses.functions import content_loss_vgg
+        from srgan_st_tpu.models.vgg import (
+            VGG19Features,
+            _torch_indices,
+            load_vgg19_npz,
+        )
+
+        torch.manual_seed(0)
+        mods, cin = [], 3
+        for _idx, kind, ch in _torch_indices():
+            if kind == "conv":
+                mods += [tnn.Conv2d(cin, ch, 3, padding=1), tnn.ReLU()]
+                cin = ch
+            else:
+                mods.append(tnn.MaxPool2d(2, 2))
+
+        class _VGG(tnn.Module):
+            def __init__(self):
+                super().__init__()
+                self.features = tnn.Sequential(*mods)
+
+        ref = _VGG().eval()
+
+        layer_weights = {"features.17": 1 / 8, "features.26": 1 / 4,
+                         "features.35": 1 / 2}  # the config default
+        feats: dict[str, torch.Tensor] = {}
+        for t in layer_weights:
+            ref.features[int(t.split(".")[1])].register_forward_hook(
+                lambda _m, _i, out, t=t: feats.__setitem__(t, out)
+            )
+        mean = torch.tensor([0.485, 0.456, 0.406]).view(1, 3, 1, 1)
+        std = torch.tensor([0.229, 0.224, 0.225]).view(1, 3, 1, 1)
+
+        sr = rng.random((2, 48, 48, 3), dtype=np.float32)
+        gt = rng.random((2, 48, 48, 3), dtype=np.float32)
+
+        def torch_feats(x):
+            t = torch.from_numpy(x.transpose(0, 3, 1, 2).copy())
+            with torch.no_grad():
+                ref.features((t - mean) / std)
+            return {k: v.clone() for k, v in feats.items()}
+
+        sr_f, gt_f = torch_feats(sr), torch_feats(gt)
+        expected = sum(
+            w * tF.mse_loss(sr_f[t], gt_f[t]).item()
+            for t, w in layer_weights.items()
+        )
+
+        pth = str(tmp_path / "vgg_rand.pth")
+        torch.save(ref.state_dict(), pth)
+        npz = str(tmp_path / "vgg_rand.npz")
+        convert(pth, npz)
+        taps = tuple(layer_weights)
+        variables = load_vgg19_npz(npz, taps)
+        model = VGG19Features(taps=taps)
+        got = float(content_loss_vgg(
+            jnp.asarray(sr), jnp.asarray(gt),
+            vgg_apply=lambda z: model.apply(variables, z),
+            layer_weights=layer_weights,
+        ))
+        np.testing.assert_allclose(got, expected, rtol=2e-4)

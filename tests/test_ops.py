@@ -1,5 +1,7 @@
 """Parity tests for the ops layer against torch-CPU golden values."""
 
+import os
+
 import numpy as np
 import pytest
 import torch
@@ -14,7 +16,7 @@ from srgan_st_tpu import ops
 # bicubic weights, the six-conv2d structure-tensor pipeline, the reference
 # pairwise distances) and cross-checked at generation time; see
 # tests/goldens/README.md.
-GOLD = np.load("tests/goldens/reference_goldens.npz")
+GOLD = np.load(os.path.join(os.path.dirname(__file__), "goldens", "reference_goldens.npz"))
 
 
 class TestBicubic:
