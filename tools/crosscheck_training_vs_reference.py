@@ -124,6 +124,53 @@ def _make_feature_extractor_shim():
     return _FeatureExtractor
 
 
+def _make_vgg19_stub():
+    """torchvision.models.vgg19 replacement: the published VGG19 `features`
+    trunk (same Sequential indices as torchvision — conv/ReLU interleaved,
+    MaxPool2d between blocks) with DETERMINISTIC random weights (no
+    pretrained artifact exists on this host; reference loss.py:46). The
+    reference's ContentLossVGG code then executes verbatim, and parity
+    holds because the identical weights are exported to the jax side
+    (out['vgg0'])."""
+    import torch
+    from torch import nn
+
+    def vgg19(weights=None, **_kw):
+        del weights  # IMAGENET1K_V1 artifact unavailable; see docstring
+        layout = [64, 64, "M", 128, 128, "M", 256, 256, 256, 256, "M",
+                  512, 512, 512, 512, "M", 512, 512, 512, 512, "M"]
+        rng_state = torch.random.get_rng_state()
+        try:
+            torch.manual_seed(97)  # deterministic, isolated from callers
+            mods: list = []
+            cin = 3
+            for v in layout:
+                if v == "M":
+                    mods.append(nn.MaxPool2d(2, 2))
+                else:
+                    mods.append(nn.Conv2d(cin, v, 3, padding=1))
+                    mods.append(nn.ReLU())
+                    cin = v
+            class _VGG(nn.Module):
+                """Forward runs only `features` (the hook-based extractor
+                calls model(x); taps are all features.* nodes, so the real
+                VGG's avgpool/classifier tail is irrelevant here)."""
+
+                def __init__(self, features):
+                    super().__init__()
+                    self.features = features
+
+                def forward(self, x):
+                    return self.features(x)
+
+            m = _VGG(nn.Sequential(*mods))
+        finally:
+            torch.random.set_rng_state(rng_state)
+        return m
+
+    return vgg19
+
+
 def _install_shims() -> None:
     import torch
 
@@ -136,6 +183,12 @@ def _install_shims() -> None:
     tv_models.feature_extraction.create_feature_extractor = (
         _make_feature_extractor_shim()
     )
+    tv_models.vgg19 = _make_vgg19_stub()
+
+    class _VGG19Weights:
+        IMAGENET1K_V1 = "IMAGENET1K_V1"
+
+    tv_models.VGG19_Weights = _VGG19Weights
     tv_transforms = types.ModuleType("torchvision.transforms")
     tv_transforms.Grayscale = _Grayscale
     tv_transforms.Normalize = _Normalize
@@ -182,7 +235,7 @@ def _recipe(args) -> str:
     return getattr(args, "recipe", "st")
 
 
-_STATE_PARTS = ("g0", "g_warm", "d0", "g_final", "d_final", "cd0")
+_STATE_PARTS = ("g0", "g_warm", "d0", "g_final", "d_final", "cd0", "vgg0")
 _TRACE_PARTS = ("warm_losses", "gan_g_losses", "gan_d_losses")
 
 
@@ -202,7 +255,8 @@ def _load_ref(path: str) -> dict:
         prefix = part + "/"
         sub = {k[len(prefix):]: data[k] for k in data.files
                if k.startswith(prefix)}
-        if sub or part != "cd0":  # cd0 only exists for recipe=flagship
+        # cd0 / vgg0 only exist for recipe=flagship / gram-vgg
+        if sub or part not in ("cd0", "vgg0"):
             ref[part] = sub
     return ref
 
@@ -286,7 +340,7 @@ def run_reference(args, warm_data: np.ndarray, gan_data: np.ndarray,
     torch.manual_seed(1)
     D = ref_model.Discriminator(cfg)
     out["d0"] = {k: v.numpy().copy() for k, v in D.state_dict().items()}
-    pst = closs = None
+    pst = closs = gram = None
     if _recipe(args) == "flagship":
         # the flagship research recipe: Adv + Pixel + PatchwiseST +
         # ContentDiscriminator (reference config.py:66-86 weights; the
@@ -296,6 +350,19 @@ def run_reference(args, warm_data: np.ndarray, gan_data: np.ndarray,
         torch.manual_seed(2)
         closs = ref_loss.ContentLossDiscriminator(cfg)
         out["cd0"] = {
+            k: v.numpy().copy()
+            for k, v in closs.feature_extractor.model.state_dict().items()
+        }
+    elif _recipe(args) == "gram-vgg":
+        # the GramGAN recipe: Adv + Pixel + Gram + ContentVGG (reference
+        # config.py weights 0.001 / 1.0 / 500.0 / 1.0). ContentLossVGG is
+        # the reference's OWN code (loss.py:238-287) running on the
+        # torchvision-stub's deterministic random VGG19 trunk (no
+        # pretrained artifact on this host); the trunk's weights are
+        # exported so the jax side runs weight-identical features
+        gram = ref_loss.GramLoss()
+        closs = ref_loss.ContentLossVGG(cfg)
+        out["vgg0"] = {
             k: v.numpy().copy()
             for k, v in closs.feature_extractor.model.state_dict().items()
         }
@@ -335,6 +402,9 @@ def run_reference(args, warm_data: np.ndarray, gan_data: np.ndarray,
         if _recipe(args) == "flagship":
             g_loss = g_loss + pst(sr, gt) * 100.0
             g_loss = g_loss + closs(sr, gt) * 2000.0
+        elif _recipe(args) == "gram-vgg":
+            g_loss = g_loss + gram(sr, gt) * 500.0
+            g_loss = g_loss + closs(sr, gt) * 1.0
         else:
             g_loss = g_loss + st(sr, gt) * (1.0 / 3.0)
         g_loss.backward()
@@ -373,7 +443,7 @@ def run_reference(args, warm_data: np.ndarray, gan_data: np.ndarray,
 
 def run_jax(args, warm_data: np.ndarray, gan_data: np.ndarray,
             g0: dict, d0: dict, g_warm: dict | None = None,
-            cd0: dict | None = None):
+            cd0: dict | None = None, vgg0: dict | None = None):
     """Replays the same two-phase schedule through the framework's train
     steps from the torch init weights. Returns losses + final variables.
     Importable by tests (no /root/reference dependency)."""
@@ -434,6 +504,25 @@ def run_jax(args, warm_data: np.ndarray, gan_data: np.ndarray,
         cd_path = os.path.join(cd_dir, "content_d.npz")
         save_variables_npz(cd_path, cd_vars)
         config.MODEL.G_LOSS.DISC_FEATURES_WEIGHTS = cd_path
+    elif _recipe(args) == "gram-vgg":
+        assert vgg0 is not None, "gram-vgg recipe needs the torch VGG weights"
+        vgg_dir = tempfile.mkdtemp(prefix="srgan_traj_vgg_")
+        atexit.register(shutil.rmtree, vgg_dir, ignore_errors=True)
+        vgg_path = os.path.join(vgg_dir, "vgg_rand.npz")
+        # the converter's npz layout: features.N.weight HWIO, bias as-is
+        np.savez(vgg_path, **{
+            k: (np.asarray(v).transpose(2, 3, 1, 0)
+                if np.asarray(v).ndim == 4 else np.asarray(v))
+            for k, v in vgg0.items()
+        })
+        # same insertion (= summation) order as the torch side; weights
+        # from the shared defaults (0.001 / 1.0 / 500.0 / 1.0)
+        config.MODEL.G_LOSS.CRITERIONS = {
+            "Adversarial": {"kind": "adversarial"},
+            "Pixel": {"kind": "pixel", "criterion": "mse"},
+            "Gram": {"kind": "gram"},
+            "ContentVGG": {"kind": "content_vgg", "weights": vgg_path},
+        }
     else:
         config.MODEL.G_LOSS.CRITERIONS = {
             "Adversarial": {"kind": "adversarial"},
@@ -649,10 +738,13 @@ def main() -> None:
                         "the boundary mid-run for both sides)")
     p.add_argument("--small", action="store_true",
                    help="reduced model (2 RCB / 16 ch G, 4 ch D)")
-    p.add_argument("--recipe", choices=("st", "flagship"), default="st",
+    p.add_argument("--recipe", choices=("st", "flagship", "gram-vgg"),
+                   default="st",
                    help="GAN-phase loss recipe: st = Adv+Pixel+ST; "
                         "flagship = Adv+Pixel+PatchwiseST+"
-                        "ContentDiscriminator (reference default weights)")
+                        "ContentDiscriminator; gram-vgg = Adv+Pixel+Gram+"
+                        "ContentVGG on a shared random VGG19 trunk "
+                        "(reference default weights)")
     p.add_argument("--loss-tol", type=float, default=2e-2,
                    help="max relative per-step loss error over the full run")
     p.add_argument("--param-tol", type=float, default=2e-2,
@@ -696,8 +788,18 @@ def main() -> None:
         # warmup window's fp seed through the GAN feedback loop
         flat = {}
         for part in _STATE_PARTS:
+            if part == "vgg0":
+                continue  # ~80 MB of random floats: the test reconstructs
+                # them from the deterministic vgg19 stub (seed 97) and
+                # validates against the digest stored below
             for k, v in ref.get(part, {}).items():
                 flat[f"{part}/{k}"] = v
+        if ref.get("vgg0"):
+            w0 = np.concatenate([np.asarray(v, np.float64).ravel()
+                                 for v in ref["vgg0"].values()])
+            flat["vgg0_digest"] = np.asarray(
+                [float(w0.size), float(np.abs(w0).sum()), float(w0[:8].sum())]
+            )
         np.savez_compressed(
             args.emit_golden,
             warm_losses=ref["warm_losses"],
@@ -727,7 +829,7 @@ def main() -> None:
 
     print("running srgan_st_tpu (jax CPU) ...")
     got = run_jax(args, warm_data, gan_data, ref["g0"], ref["d0"],
-                  cd0=ref.get("cd0"))
+                  cd0=ref.get("cd0"), vgg0=ref.get("vgg0"))
 
     from import_torch_checkpoint import import_discriminator, import_generator
 
