@@ -76,7 +76,10 @@ def diagnose(results: list[dict]) -> str:
                 "serialized compiles until it finishes."
             )
         return f"USABLE (claim {last['claim_s']}s, tiny jit {last['jit_s']}s)"
-    fails = [r["claim_s"] for r in results if not r["ok"]]
+    # interrupted probes are excluded from the constant-time heuristic:
+    # their claim_s is the USER's reaction time, not a server constant
+    fails = [r["claim_s"] for r in results
+             if not r["ok"] and not r.get("interrupted")]
     if len(fails) >= 2 and max(fails) - min(fails) < 30 and min(fails) > 600:
         return (
             f"WEDGED: {len(fails)} failures at a constant ~{int(sum(fails) / len(fails))}s "
@@ -110,7 +113,13 @@ def main(argv=None) -> None:
     results: list[dict] = []
     for i in range(max(1, args.retries)):
         if i:
-            time.sleep(args.spacing)
+            try:
+                time.sleep(args.spacing)
+            except KeyboardInterrupt:
+                # still print the verdict/JSON for the completed probes
+                if not args.json:
+                    print("interrupted during spacing — stopping", flush=True)
+                break
         r = probe()
         results.append(r)
         if not args.json:

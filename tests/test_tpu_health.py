@@ -36,3 +36,12 @@ def test_varying_failure_times_not_called_wedge():
     # spread > 30 s across attempts: load/transient, not the session lock
     v = diagnose([_fail(700.0), _fail(1400.0)])
     assert not v.startswith("WEDGED")
+
+def test_interrupted_probe_excluded_from_wedge_heuristic():
+    # probe 2's timing is the user's Ctrl-C reaction time, not a server
+    # constant: it must not corroborate (or fabricate) a WEDGED verdict
+    interrupted = dict(_fail(1480.0), error="KeyboardInterrupt",
+                       interrupted=True)
+    v = diagnose([_fail(1500.0), interrupted])
+    assert not v.startswith("WEDGED")
+    assert v.startswith("UNAVAILABLE")
