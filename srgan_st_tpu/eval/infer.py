@@ -61,6 +61,15 @@ def make_infer_fn(config, gpath: str | None = None):
     if not gpath:
         gpath = f"results/{config.EXP.NAME}/g_best.npz"
     variables = load_params_npz(gpath)
+    # the checkpoint, not the default config, defines the architecture —
+    # a non-default width/depth/upscale generator must serve without
+    # flags (same derivation the exporter uses)
+    from srgan_st_tpu.eval.export import derive_arch
+
+    arch = derive_arch(variables)
+    config.MODEL.G_N_CHANNEL = arch["channels"]
+    config.MODEL.G_N_RCB = arch["num_rcb"]
+    config.DATA.UPSCALE_FACTOR = arch["upscale"]
     return make_generator_apply(config, variables)
 
 

@@ -257,6 +257,34 @@ class TestExport:
         with pytest.raises(ValueError, match="not a srgan-st-tpu export"):
             load_runner(str(bad))
 
+    def test_infer_cli_derives_arch_from_checkpoint(self, tmp_path, rng):
+        """eval/infer.py --gpath: the live-model path must serve a
+        non-default width/depth checkpoint without architecture flags
+        (same derive_arch as export; previously crashed with a
+        ScopeParamShapeError against the default 64-channel config)."""
+        import jax
+        from PIL import Image
+
+        from srgan_st_tpu.eval.infer import main
+        from srgan_st_tpu.models.generator import Generator
+        from srgan_st_tpu.train.checkpoint import save_variables_npz
+
+        config = self._tiny()  # non-default: 8 channels, 1 RCB
+        g = Generator.from_config(config)
+        v = g.init(jax.random.key(0), jnp.zeros((1, 8, 8, 3)), train=False)
+        gpath = str(tmp_path / "g_tiny.npz")
+        save_variables_npz(gpath, v)
+
+        img = (rng.random((10, 14, 3)) * 255).astype(np.uint8)
+        inp = tmp_path / "in"
+        inp.mkdir()
+        Image.fromarray(img).save(inp / "q.png")
+        out = str(tmp_path / "out")
+        main(["--input", str(inp / "q.png"), "--output", out,
+              "--gpath", gpath])
+        sr = np.asarray(Image.open(os.path.join(out, "q_x4.png")))
+        assert sr.shape == (40, 56, 3)
+
     def test_infer_cli_serves_from_artifact(self, tmp_path, rng):
         """eval/infer.py --artifact: the serving CLI must run from an
         exported artifact alone (upscale read from the header), including
