@@ -340,7 +340,7 @@ def run_reference(args, warm_data: np.ndarray, gan_data: np.ndarray,
     torch.manual_seed(1)
     D = ref_model.Discriminator(cfg)
     out["d0"] = {k: v.numpy().copy() for k, v in D.state_dict().items()}
-    pst = closs = gram = None
+    pst = closs = gram = bb = None
     if _recipe(args) == "flagship":
         # the flagship research recipe: Adv + Pixel + PatchwiseST +
         # ContentDiscriminator (reference config.py:66-86 weights; the
@@ -366,6 +366,13 @@ def run_reference(args, warm_data: np.ndarray, gan_data: np.ndarray,
             k: v.numpy().copy()
             for k, v in closs.feature_extractor.model.state_dict().items()
         }
+    elif _recipe(args) == "bb":
+        # the Best-Buddy GAN recipe: Adv + Pixel + BestBuddy (reference
+        # config.py CRITERION_WEIGHTS 0.001 / 1.0 / 50.0). BestBuddyLoss
+        # defaults: alpha=beta=1, ksize=stride=3, pad=0, l2 distance,
+        # l1 criterion, with the two torch-interpolate bicubic
+        # downscales of gt inside the loss (loss.py:78-140)
+        bb = ref_loss.BestBuddyLoss()
     g_opt = torch.optim.Adam(  # fresh optimizers (train.py:62-76)
         G.parameters(), lr=cfg.SOLVER.G_BASE_LR,
         betas=(cfg.SOLVER.G_BETA1, cfg.SOLVER.G_BETA2),
@@ -405,6 +412,8 @@ def run_reference(args, warm_data: np.ndarray, gan_data: np.ndarray,
         elif _recipe(args) == "gram-vgg":
             g_loss = g_loss + gram(sr, gt) * 500.0
             g_loss = g_loss + closs(sr, gt) * 1.0
+        elif _recipe(args) == "bb":
+            g_loss = g_loss + bb(sr, gt) * 50.0
         else:
             g_loss = g_loss + st(sr, gt) * (1.0 / 3.0)
         g_loss.backward()
@@ -522,6 +531,14 @@ def run_jax(args, warm_data: np.ndarray, gan_data: np.ndarray,
             "Pixel": {"kind": "pixel", "criterion": "mse"},
             "Gram": {"kind": "gram"},
             "ContentVGG": {"kind": "content_vgg", "weights": vgg_path},
+        }
+    elif _recipe(args) == "bb":
+        # same insertion (= summation) order as the torch side; weights
+        # from the shared defaults (0.001 / 1.0 / 50.0)
+        config.MODEL.G_LOSS.CRITERIONS = {
+            "Adversarial": {"kind": "adversarial"},
+            "Pixel": {"kind": "pixel", "criterion": "mse"},
+            "BestBuddy": {"kind": "best_buddy"},
         }
     else:
         config.MODEL.G_LOSS.CRITERIONS = {
@@ -738,13 +755,14 @@ def main() -> None:
                         "the boundary mid-run for both sides)")
     p.add_argument("--small", action="store_true",
                    help="reduced model (2 RCB / 16 ch G, 4 ch D)")
-    p.add_argument("--recipe", choices=("st", "flagship", "gram-vgg"),
+    p.add_argument("--recipe", choices=("st", "flagship", "gram-vgg", "bb"),
                    default="st",
                    help="GAN-phase loss recipe: st = Adv+Pixel+ST; "
                         "flagship = Adv+Pixel+PatchwiseST+"
                         "ContentDiscriminator; gram-vgg = Adv+Pixel+Gram+"
-                        "ContentVGG on a shared random VGG19 trunk "
-                        "(reference default weights)")
+                        "ContentVGG on a shared random VGG19 trunk; "
+                        "bb = Adv+Pixel+BestBuddy "
+                        "(all at the reference's default weights)")
     p.add_argument("--loss-tol", type=float, default=2e-2,
                    help="max relative per-step loss error over the full run")
     p.add_argument("--param-tol", type=float, default=2e-2,
