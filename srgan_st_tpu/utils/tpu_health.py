@@ -19,19 +19,90 @@ Usage:
     python tools/tpu_health.py                # one clean probe, verdict
     python tools/tpu_health.py --retries 5 --spacing 120
     python tools/tpu_health.py --json         # machine-readable line
+    python tools/tpu_health.py --patient 10800   # hold ONE queued claim 3h
 
 Exit code 0 = chip usable; 1 = unavailable (diagnosis on stdout).
 This process never installs signal-based timeouts around the claim: the
 claim either completes or fails server-side, and the process exits
 cleanly either way (the whole point — see above).
+
+Patient mode (``--patient SECONDS``): the ~25 min constant observed above
+is the CLIENT's default claim timeout — a wedged-chip claim sits queued
+server-side and gives up, it isn't rejected. Holding one clean queued
+claim for hours has ~100% duty cycle on catching the stale grant's
+expiry, versus ~10% for spaced 25-min probes. The pooled runtime's
+registration hook registers the backend at interpreter startup with the
+default timeout (options are fixed for process lifetime), so patient mode
+re-execs itself with the hook's trigger env unset and registers the
+backend manually with ``claim_timeout_s=SECONDS``. Still ONE clean-exit
+client at a time — run it instead of, not alongside, spaced probes.
 """
 
 from __future__ import annotations
 
 import argparse
 import json
+import os
+import subprocess
 import sys
 import time
+
+#: env marker carrying --patient seconds across the re-exec (see
+#: module docstring "Patient mode"); presence means "we are the child:
+#: register manually before probing".
+_PATIENT_ENV = "SRGAN_TPU_HEALTH_PATIENT_S"
+#: the sitecustomize trigger env: when set, the pooled runtime's .pth
+#: hook already registered the backend at interpreter startup and the
+#: claim timeout can no longer be changed in this process.
+_POOL_ENV = "PALLAS_AXON_POOL_IPS"
+
+
+def _patient_bootstrap(claim_timeout_s: int) -> None:
+    """Manually register the pooled-TPU backend with a long claim timeout.
+
+    Mirrors the sitecustomize hook's registration call (same topology /
+    .so / loopback-relay env) but passes ``claim_timeout_s`` through.
+    Must run before the backend initializes; only reachable in a child
+    process whose ``_POOL_ENV`` was stripped (else registration already
+    happened at startup and re-registering would drift-error).
+    """
+    import uuid
+
+    os.environ["AXON_POOL_SVC_OVERRIDE"] = "127.0.0.1"
+    os.environ["AXON_LOOPBACK_RELAY"] = "1"
+    os.environ.setdefault("TPU_WORKER_HOSTNAMES", "localhost")
+    site = os.environ.get("SRGAN_AXON_SITE", "/root/.axon_site")
+    if site not in sys.path:
+        sys.path.insert(0, site)
+    from axon.register import register
+
+    gen = os.environ.get("PALLAS_AXON_TPU_GEN", "v5e")
+    register(
+        None,
+        f"{gen}:1x1x1",  # topology stays in slot 2 positionally (hook contract)
+        so_path=os.environ.get("SRGAN_AXON_SO", "/opt/axon/libaxon_pjrt.so"),
+        session_id=str(uuid.uuid4()),
+        remote_compile=os.environ.get("PALLAS_AXON_REMOTE_COMPILE") == "1",
+        claim_timeout_s=int(claim_timeout_s),
+    )
+
+
+def _reexec_patient(argv: list[str], patient_s: int) -> int:
+    """Re-run this module in a child with the startup hook disarmed.
+
+    Returns the child's exit code. The child sees ``_PATIENT_ENV`` and
+    bootstraps the backend manually (``_patient_bootstrap``).
+    """
+    env = dict(os.environ)
+    env.pop(_POOL_ENV, None)
+    env[_PATIENT_ENV] = str(patient_s)
+    cmd = [sys.executable, "-m", "srgan_st_tpu.utils.tpu_health", *argv]
+    # the child must find both the package and the runtime site dir
+    extra = [p for p in (os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__)))),) if p]
+    env["PYTHONPATH"] = os.pathsep.join(
+        extra + [p for p in env.get("PYTHONPATH", "").split(os.pathsep) if p])
+    return subprocess.call(cmd, env=env)
 
 
 def probe() -> dict:
@@ -108,7 +179,25 @@ def main(argv=None) -> None:
                         help="seconds between attempts")
     parser.add_argument("--json", action="store_true",
                         help="emit one JSON line instead of prose")
+    parser.add_argument("--patient", type=int, default=None, metavar="SECONDS",
+                        help="hold ONE queued claim for this many seconds "
+                        "instead of the ~25 min client default (wedge "
+                        "recovery; see module docstring). Implies "
+                        "--retries 1.")
     args = parser.parse_args(argv)
+
+    if args.patient is not None and _PATIENT_ENV not in os.environ:
+        if os.environ.get(_POOL_ENV):
+            # options are process-fixed once the startup hook registered
+            # the backend — hand off to a clean child (it re-enters main
+            # with _PATIENT_ENV set and probes below).
+            child_argv = list(argv) if argv is not None else sys.argv[1:]
+            sys.exit(_reexec_patient(child_argv, args.patient))
+        # no startup hook in play (bare env): bootstrap right here
+        os.environ[_PATIENT_ENV] = str(args.patient)
+    if _PATIENT_ENV in os.environ:
+        args.retries = 1
+        _patient_bootstrap(int(os.environ[_PATIENT_ENV]))
 
     results: list[dict] = []
     for i in range(max(1, args.retries)):
