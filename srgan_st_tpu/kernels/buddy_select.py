@@ -2,7 +2,8 @@
 
 Computes, per batch element,
 
-    sel[n] = bank[argmin_m  alpha*||p1[n]-bank[m]||^2 + beta*||p2[n]-bank[m]||^2]
+    idx[n] = argmin_m  alpha*||p1[n]-bank[m]||^2 + beta*||p2[n]-bank[m]||^2
+    sel[n] = bank[idx[n]]
 
 — the shared machinery of BestBuddy / Gram / PatchwiseST losses (reference
 loss.py:132-137: two batch_pairwise_distance calls + torch.min + gather).
@@ -11,35 +12,49 @@ Fusion rationale: the XLA path materializes two (B, N, M) score tensors in
 HBM (~88 MB each at the training shapes, ~1.4 GB each at 192px GT tiles)
 before reducing them to N indices. Here only (Nt, Mt) score TILES ever
 exist, in VMEM; the distance computations ride the MXU as (Nt, d) @ (d, Mt)
-contractions, the gather is a one-hot (Nt, Mt) @ (Mt, d) matmul, and a
-running (score, selection) pair carried across bank tiles keeps the VMEM
-working set bounded for ANY (N, M) — nothing but the (N, d) selection ever
-touches HBM.
+contractions and a running (score, index) pair carried across bank tiles
+keeps the VMEM working set bounded for ANY (N, M). The kernel emits ONLY
+the (N,) int32 winners; the value gather runs outside as an exact XLA
+`take_along_axis` (round-4 redesign — the earlier in-kernel one-hot matmul
+gather both cost a (Nt, Mt) intermediate and rounded the gathered values
+through MXU passes, which is what made the round-3 value-level comparison
+read as 0.0000 agreement, ONCHIP_r03.log).
 
-The grid is (B, N-tiles, M-tiles) with the M axis sequential ("arbitrary"):
-each M step folds its tile-local winner into VMEM scratch with a strict `<`,
-which preserves global first-occurrence argmin tie-breaking exactly (ties
-within a tile resolve to the lowest index by jnp.argmin; ties across tiles
-keep the earlier tile's winner). Inputs are zero-padded up to the tile grid
-outside the kernel and padded bank columns are masked to +inf before the
-argmin, so padding can never be selected; padded output rows are sliced off
-on return.
+Tie-breaking matches the reference (torch.min / jnp.argmin: FIRST
+occurrence) exactly, by construction at both levels:
+  * within a tile, the winner index is computed as min(col where score ==
+    tile_min) — measured necessary: Mosaic's native argmin does NOT
+    guarantee first-occurrence on v5e (0.23 agreement on duplicate-heavy
+    banks before this fix, tools/bench_buddy.py);
+  * across tiles, each M step folds its tile winner into VMEM scratch with
+    a strict `<`, so the earlier tile keeps exact-score ties.
+Inputs are zero-padded up to the tile grid outside the kernel and padded
+bank columns are masked to +inf before the reduction, so padding can never
+be selected; padded output rows are sliced off on return.
+
+Score precision: the two l2 cross terms default to full-f32 MXU passes
+(`precision=HIGHEST`) — measured FREE at d=27 (2.49 vs 2.58 ms at the
+96px-GT shape, and the removed gather matmul more than pays for the extra
+passes) and required for selection parity with the f32 reference: at the
+backend-default bf16 passes, ~0.6% of rows select a different (near-tie)
+bank entry (f64-ground-truth agreement 0.9944 vs 1.0000; measured final
+state: ONCHIP_r04_buddy.log — index agreement 1.0000 on normal data at
+all shapes, 0.9999 on duplicate-heavy data with residual disagreements at
+relative score gaps ~1e-8, i.e. genuine f32-vs-f64 rounding ties,
+identical to the XLA-f32 path's own behavior; and the two paths are
+bit-exact against each other on-chip).
 
 The selection is gradient-free by construction (argmin has no gradient and
 the bank derives from ground truth, so the reference's gather backward is
 dead code — see losses/functions.py); the wrapper stops gradients
 explicitly, keeping the kernel forward-only.
 
-MEASURED (round 2, v5e single chip, `bench.py --suite`): in the full
-flagship GAN step (Adv+Pixel+PatchwiseST+ContentDisc, batch 16, 96px GT)
-the kernel is throughput-NEUTRAL vs the XLA path — 3515 vs 3522
-patches/s/chip (within run noise); XLA keeps its score tensors fused well
-enough at those shapes. The kernel is the TPU default for its bounded
-working set: at 192px+ GT tiles the round-2 whole-(N, M)-in-VMEM version
-could not be allocated at all and the XLA path's HBM intermediates grow
-with (N*M); the tiled version runs at any tile size (large-shape A/B:
-tools/bench_buddy.py). `pallas=False` on the buddy losses forces the XLA
-path.
+MEASURED (v5e single chip): in the full flagship GAN step the kernel is
+throughput-neutral vs the XLA path at training shapes (3515 vs 3522
+patches/s/chip, round 2); standalone it is 15-23x faster at 96-192px GT
+shapes (ONCHIP_r03.log) because the XLA path is HBM-bound on its (B, N, M)
+score tensors. It is the TPU default for the bounded working set;
+`pallas=False` on the buddy losses forces the XLA path.
 """
 
 from __future__ import annotations
@@ -53,8 +68,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _buddy_kernel(
-    p1_ref, p2_ref, bank_ref, out_ref, score_ref, sel_ref,
-    *, alpha, beta, dist_norm, m_total, m_tile,
+    p1_ref, p2_ref, bank_ref, out_ref, score_ref, arg_ref,
+    *, alpha, beta, dist_norm, m_total, m_tile, precision,
 ):
     j = pl.program_id(2)
     p1 = p1_ref[0].astype(jnp.float32)  # (Nt, d)
@@ -64,7 +79,7 @@ def _buddy_kernel(
     mt = bank.shape[0]
 
     # columns of this tile that are real bank entries (the last M tile and
-    # any Pallas block padding are masked out of the argmin)
+    # any Pallas block padding are masked out of the reduction)
     cols = jax.lax.broadcasted_iota(jnp.int32, (1, mt), dimension=1)
     valid = (cols + j * m_tile) < m_total  # (1, Mt)
 
@@ -73,7 +88,10 @@ def _buddy_kernel(
 
         def l2(p):
             p_norm = jnp.sum(p * p, axis=1)[:, None]  # (Nt, 1)
-            cross = jnp.dot(p, bank.T, preferred_element_type=jnp.float32)
+            cross = jax.lax.dot_general(
+                p, bank.T, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=precision,
+            )
             return jnp.clip(p_norm + bank_norm - 2.0 * cross, 0.0, None)
 
         score = alpha * l2(p1) + beta * l2(p2)
@@ -93,27 +111,29 @@ def _buddy_kernel(
 
     score = jnp.where(valid, score, jnp.inf)
     tile_min = jnp.min(score, axis=1, keepdims=True)  # (Nt, 1)
-    tile_arg = jnp.argmin(score, axis=1)  # (Nt,)
-    # gather-as-matmul: one_hot(ind) @ bank stays on the MXU; AND with the
-    # validity mask so an all-padding tile selects nothing
+    # FIRST-occurrence winner: min column index among score == tile_min.
+    # (Mosaic's argmin tie-break is unspecified on TPU — measured picking
+    # later duplicates; torch.min/jnp.argmin pick the first.)
     cols_nm = jax.lax.broadcasted_iota(jnp.int32, (nt, mt), dimension=1)
-    onehot = ((cols_nm == tile_arg[:, None]) & valid).astype(jnp.float32)
-    tile_sel = jnp.dot(onehot, bank, preferred_element_type=jnp.float32)
+    tile_arg = jnp.min(
+        jnp.where(score == tile_min, cols_nm, jnp.int32(2**30)), axis=1
+    )
+    tile_idx = (tile_arg + j * m_tile)[:, None].astype(jnp.int32)  # (Nt, 1)
 
     @pl.when(j == 0)
     def _init():
         score_ref[...] = tile_min
-        sel_ref[...] = tile_sel
+        arg_ref[...] = tile_idx
 
     @pl.when(j > 0)
     def _merge():
         better = tile_min < score_ref[...]  # strict: earlier tile wins ties
         score_ref[...] = jnp.where(better, tile_min, score_ref[...])
-        sel_ref[...] = jnp.where(better, tile_sel, sel_ref[...])
+        arg_ref[...] = jnp.where(better, tile_idx, arg_ref[...])
 
     @pl.when(j == pl.num_programs(2) - 1)
     def _emit():
-        out_ref[0] = sel_ref[...].astype(out_ref.dtype)
+        out_ref[0] = arg_ref[...]
 
 
 def buddy_select(
@@ -126,13 +146,24 @@ def buddy_select(
     interpret: bool = False,
     n_tile: int | None = None,
     m_tile: int | None = None,
+    return_index: bool = False,
+    precision=jax.lax.Precision.HIGHEST,
 ) -> jnp.ndarray:
     """p1, p2: (B, N, d); bank: (B, M, d) -> selected (B, N, d).
 
     Equivalent to the XLA path in losses/functions._buddy_select; gradients
     are stopped (the selection is inherently gradient-free). Default tiles
     (1024, 1536) cover the 96px-GT training shapes in a single tile (no
-    merge overhead) and bound the VMEM working set to ~13 MB at any shape.
+    merge overhead) and bound the VMEM working set at any shape.
+
+    The kernel computes the winning bank INDEX per row (first-occurrence
+    tie-break, f32-exact scores by default — see module docstring); the
+    value gather is an exact XLA `take_along_axis` outside the kernel.
+    `return_index=True` additionally returns the (B, N) int32 indices —
+    the selection-identity observable the on-chip correctness sweep
+    compares (tools/bench_buddy.py). `precision` feeds the two l2 score
+    contractions; HIGHEST (default) matches the CPU/f32-reference
+    selection on near-tie rows and measures free at d=27.
     """
     p1 = jax.lax.stop_gradient(p1)
     p2 = jax.lax.stop_gradient(p2)
@@ -144,18 +175,20 @@ def buddy_select(
     mt = min(m, m_tile or 1536)
     n_pad = -(-n // nt) * nt
     m_pad = -(-m // mt) * mt
+    p1p, p2p = p1, p2
     if n_pad != n:
         pad = [(0, 0), (0, n_pad - n), (0, 0)]
-        p1 = jnp.pad(p1, pad)
-        p2 = jnp.pad(p2, pad)
+        p1p = jnp.pad(p1, pad)
+        p2p = jnp.pad(p2, pad)
+    bankp = bank
     if m_pad != m:
-        bank = jnp.pad(bank, [(0, 0), (0, m_pad - m), (0, 0)])
+        bankp = jnp.pad(bank, [(0, 0), (0, m_pad - m), (0, 0)])
 
     kernel = functools.partial(
         _buddy_kernel, alpha=alpha, beta=beta, dist_norm=dist_norm,
-        m_total=m, m_tile=mt,
+        m_total=m, m_tile=mt, precision=precision,
     )
-    out = pl.pallas_call(
+    idx = pl.pallas_call(
         kernel,
         grid=(b, n_pad // nt, m_pad // mt),
         in_specs=[
@@ -166,16 +199,31 @@ def buddy_select(
             pl.BlockSpec((1, mt, d), lambda b_, i, j: (b_, j, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, nt, d), lambda b_, i, j: (b_, i, 0),
+        out_specs=pl.BlockSpec((1, nt, 1), lambda b_, i, j: (b_, i, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, n_pad, d), p1.dtype),
+        out_shape=jax.ShapeDtypeStruct((b, n_pad, 1), jnp.int32),
         scratch_shapes=[
             pltpu.VMEM((nt, 1), jnp.float32),
-            pltpu.VMEM((nt, d), jnp.float32),
+            pltpu.VMEM((nt, 1), jnp.int32),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
+            # actual padded working set: ~4 (Nt, Mt) f32/i32 planes (two l2
+            # scores, the column iota, the tie-break where) + the (Nt, d)
+            # and (Mt, d) blocks at 128-lane padding, double-buffered. The
+            # default 16 MB scoped limit is ~200 KB short at the default
+            # (1024, 1536) tiles; v5e VMEM allows far more (packed_trunk
+            # runs at 110 MB).
+            vmem_limit_bytes=min(
+                110 * 1024 * 1024,
+                4 * nt * mt * 4 + 8 * (2 * nt + mt) * 128 * 4
+                + 8 * 1024 * 1024,
+            ),
         ),
         interpret=interpret,
-    )(p1, p2, bank)
-    return out[:, :n]
+    )(p1p, p2p, bankp)
+    idx = idx[:, :n, 0]
+    sel = jnp.take_along_axis(bank, idx[..., None], axis=1)
+    if return_index:
+        return sel, idx
+    return sel

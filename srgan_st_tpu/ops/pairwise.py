@@ -18,6 +18,12 @@ def batch_pairwise_distance(
     >= 0; exact zeros on the diagonal when y is None), sum of absolute
     differences for "l1" — matching the reference bit-for-bit including the
     y-is-None diagonal zeroing (utils.py:186).
+
+    The l2 cross term runs at `precision="highest"` (full f32 MXU passes):
+    buddy-select argmins over these scores flip on ~0.6% of rows at the
+    TPU-default bf16 passes (measured, ONCHIP_r04_buddy.log xla-def vs
+    xla-hi), and the op is HBM-bound on its (B, N, M) output anyway, so
+    reference-exact f32 scoring is free.
     """
     if dist_norm == "l1":
         yy = x if y is None else y
@@ -26,10 +32,10 @@ def batch_pairwise_distance(
         x_norm = (x**2).sum(axis=2)[:, :, None]  # (B, N, 1)
         if y is not None:
             y_norm = (y**2).sum(axis=2)[:, None, :]  # (B, 1, M)
-            cross = jnp.einsum("bnd,bmd->bnm", x, y)
+            cross = jnp.einsum("bnd,bmd->bnm", x, y, precision="highest")
         else:
             y_norm = x_norm.transpose(0, 2, 1)
-            cross = jnp.einsum("bnd,bmd->bnm", x, x)
+            cross = jnp.einsum("bnd,bmd->bnm", x, x, precision="highest")
         dist = x_norm + y_norm - 2.0 * cross
         if y is None:
             n = dist.shape[1]
