@@ -73,7 +73,8 @@ def _make_config(name: str):
     elif name == "gram-vgg":
         config.add_g_criterion("Gram", {"kind": "gram"}, 500.0)
         # BENCH_VGG_PAIR=0|1 A/Bs the frozen-pair single-forward VGG vs
-        # the two-forward autodiff path (default: registry auto)
+        # the two-forward autodiff path (default: two-forward — the pair
+        # lost its on-chip A/B 2,642 vs 2,680, ONCHIP_r03.log)
         spec = {"kind": "content_vgg", "allow_random_init": True}
         if os.environ.get("BENCH_VGG_PAIR"):
             spec["pair"] = os.environ["BENCH_VGG_PAIR"] == "1"

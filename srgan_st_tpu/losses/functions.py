@@ -205,12 +205,14 @@ def content_loss_vgg(sr, gt, vgg_apply=None, layer_weights=None,
     """VGG19 perceptual content loss (reference loss.py:11-74, GramGAN
     recipe): ImageNet-normalize both images, compare tap activations.
 
-    `vgg_pair` (models/vgg.py make_vgg19_frozen_pair, the TPU default)
-    runs BOTH branches in one batch-concatenated forward with a
-    hand-written sr-only backward; `vgg_apply` is the plain two-forward
-    autodiff path. `remat` (two-forward path only) recomputes the
-    sr-branch forward during backward instead of saving activations
-    (measured slower on v5e — kept for memory-bound configurations)."""
+    `vgg_apply` (the default) is the plain two-forward autodiff path;
+    `vgg_pair` (models/vgg.py make_vgg19_frozen_pair, opt-in via
+    spec["pair"]) runs BOTH branches in one batch-concatenated forward
+    with a hand-written sr-only backward — measured SLOWER on v5e
+    (2,642 vs 2,680 patches/s in the gram-vgg recipe, ONCHIP_r03.log),
+    kept for memory-bound configurations. `remat` (two-forward path
+    only) recomputes the sr-branch forward during backward instead of
+    saving activations (also measured slower on v5e)."""
     crit = _elementwise_criterion(criterion)
     if vgg_pair is not None:
         sr_feats, gt_feats = vgg_pair(

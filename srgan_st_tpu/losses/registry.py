@@ -45,12 +45,13 @@ def _build_content_vgg(config, spec):
         import jax.numpy as jnp
 
         variables = model.init(jax.random.key(0), jnp.zeros((1, 96, 96, 3)))
-    # TPU default: one batch-concatenated forward for both branches with a
-    # hand-written sr-only backward (the VGG weights are frozen and gt is
-    # data — see make_vgg19_frozen_pair). spec["pair"] overrides.
-    pair = spec.get("pair")
-    if pair is None:
-        pair = jax.default_backend() == "tpu" and not spec.get("remat", False)
+    # spec["pair"] = True selects the batch-concatenated frozen-pair forward
+    # (make_vgg19_frozen_pair: one batch-32 pass + hand-written sr-only
+    # backward). Measured on-chip 2026-08-19 (ONCHIP_r03.log): pair 2,642 vs
+    # two-forward 2,680 patches/s/chip in the gram-vgg recipe — XLA already
+    # overlaps the two batch-16 forwards well enough that halving the op
+    # count doesn't pay, so the default is the two-forward autodiff path.
+    pair = spec.get("pair", False)
     if pair:
         from srgan_st_tpu.models.vgg import make_vgg19_frozen_pair
 

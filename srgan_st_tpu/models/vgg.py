@@ -106,11 +106,17 @@ def make_vgg19_frozen_pair(variables: dict, taps: tuple[str, ...], dtype):
     are frozen by construction, reference loss.py:50-52 `requires_grad_(
     False)`), yet autodiff of two separate batch-B forwards leaves the gt
     forward's ops at half the batch size and doubles the op count. Here the
-    two forwards fuse into batch-2B ops (better MXU utilization on the
-    96^2/48^2 blocks — measured on v5e), residuals save only the sr half,
+    two forwards fuse into batch-2B ops, residuals save only the sr half,
     and the backward is written out layer-by-layer: relu masks, max-pool
     vjps, conv input-gradients via the kernel-transpose identity, and the
     3->64 stem's packed-GEMM image gradient (ops/fastgrad.py).
+
+    MEASURED on v5e (2026-08-19, ONCHIP_r03.log): the pair path LOST its
+    A/B — 2,642 vs 2,680 patches/s/chip in the full gram-vgg step (the
+    VGG convs already run near-peak MFU at batch 16, so halving op count
+    buys less than the pair's extra concat/split traffic costs). It is
+    therefore OPT-IN (spec["pair"]=True), kept for memory-bound configs
+    where saving the gt-branch residuals matters.
 
     FROZEN-PAIR CONTRACT: gradients flow ONLY to `sr_n`. The returned
     cotangents for `gt_n` are zero and the VGG parameters (closed over as
