@@ -65,6 +65,10 @@ _COMMANDS: dict[str, tuple[str, str, str]] = {
         "srgan_st_tpu.viz.feature_maps", "main",
         "visualize content-loss feature maps for an image pair",
     ),
+    "buddy-viz": (
+        "srgan_st_tpu.viz.buddy_illustration", "main",
+        "mark a patch and its best-buddy candidates on an image",
+    ),
     "doctor": (
         "srgan_st_tpu.utils.tpu_health", "main",
         "probe accelerator claimability and diagnose wedged runtimes",

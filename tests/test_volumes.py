@@ -97,3 +97,37 @@ def test_feature_maps_render(tmp_path, rng):
     assert len(written) == 2  # features.4 and features.10
     with Image.open(written[0]) as im:
         assert im.size[0] > 0
+
+
+def test_buddy_illustration(tmp_path, rng):
+    """viz/buddy_illustration smoke (reference visualizations.ipynb
+    counterpart): marked image + per-buddy crops, duplicate patch found."""
+    from PIL import Image
+
+    from srgan_st_tpu.viz.buddy_illustration import buddy_illustration
+
+    # image with an exact duplicate of the target patch elsewhere: the
+    # duplicate must be the rank-1 buddy at full scale with score ~0
+    img = (rng.random((60, 75, 3)) * 255).astype(np.uint8)
+    img[15:30, 30:45] = img[0:15, 0:15]  # grid (1,2) == grid (0,0)
+    path = str(tmp_path / "im.png")
+    Image.fromarray(img).save(path)
+
+    meta = buddy_illustration(path, (0, 0), k=3, ksize=15,
+                              out_dir=str(tmp_path / "figs"))
+    assert meta["grid"] == (4, 5)
+    b1 = meta["buddies"][0]
+    assert (b1["scale"], b1["row"], b1["col"]) == (1.0, 1, 2)
+    # fp32 reassociation in the ||x||^2+||y||^2-2xy form leaves ~1e-5 on an
+    # exact duplicate; random-patch scores are O(10)
+    assert b1["score"] < 1e-3
+    # target crop + k buddy crops + marked canvas
+    assert len(meta["written"]) == 1 + 3 + 1
+    for p in meta["written"]:
+        assert os.path.exists(p)
+    with Image.open(meta["written"][-1]) as im:
+        arr = np.asarray(im)
+    assert arr.shape == (60, 75, 3)
+    # blue target box and a red buddy box were drawn
+    assert (arr[0:15, 0:2] == (0, 0, 255)).all(axis=-1).any()
+    assert (arr[15:31, 30:32] == (255, 0, 0)).all(axis=-1).any()
