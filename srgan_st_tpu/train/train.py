@@ -192,7 +192,7 @@ def cli(argv=None) -> None:
     train(parse_driver_cli(
         argv,
         description="Adversarial (GAN) training phase. Starts from the "
-        "warmup checkpoint configured in EXP.G_WARMUP_PATH when present.",
+        "warmup checkpoint configured in MODEL.G_WARMUP_WEIGHTS when present.",
         set_example="--set TPU.COMPUTE_DTYPE=bfloat16 --set EXP.N_EPOCHS=20",
     ))
 
