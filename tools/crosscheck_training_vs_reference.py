@@ -452,25 +452,33 @@ def run_reference(args, warm_data: np.ndarray, gan_data: np.ndarray,
 
 def run_jax(args, warm_data: np.ndarray, gan_data: np.ndarray,
             g0: dict, d0: dict, g_warm: dict | None = None,
-            cd0: dict | None = None, vgg0: dict | None = None):
+            cd0: dict | None = None, vgg0: dict | None = None,
+            require_cpu: bool = True):
     """Replays the same two-phase schedule through the framework's train
     steps from the torch init weights. Returns losses + final variables.
-    Importable by tests (no /root/reference dependency)."""
+    Importable by tests (no /root/reference dependency).
+
+    `require_cpu=False` skips the CPU pin so the replay runs on whatever
+    backend is live — used by tools/onchip_trajectory_smoke.py to pin the
+    REAL TPU backend's numerics (incl. its default loss kernels) against
+    the same goldens, at a measured looser tolerance (TPU f32 matmuls are
+    bf16 MXU passes)."""
     import jax
 
     # parity runs MUST be fp32-exact: force CPU (the axon TPU plugin wins
     # over the JAX_PLATFORMS env var, and TPU fp32 matmuls are bf16 MXU
     # passes). The config update works as long as no backend has been
     # initialized yet; then verify.
-    try:
-        jax.config.update("jax_platforms", "cpu")
-    except RuntimeError:  # pragma: no cover - backend already up (tests)
-        pass
-    if jax.default_backend() != "cpu":
-        raise RuntimeError(
-            "trajectory crosscheck must run on the CPU backend; got "
-            f"{jax.default_backend()} — run in a fresh process"
-        )
+    if require_cpu:
+        try:
+            jax.config.update("jax_platforms", "cpu")
+        except RuntimeError:  # pragma: no cover - backend already up (tests)
+            pass
+        if jax.default_backend() != "cpu":
+            raise RuntimeError(
+                "trajectory crosscheck must run on the CPU backend; got "
+                f"{jax.default_backend()} — run in a fresh process"
+            )
 
     import jax.numpy as jnp
 
