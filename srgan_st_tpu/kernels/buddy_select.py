@@ -32,17 +32,21 @@ Inputs are zero-padded up to the tile grid outside the kernel and padded
 bank columns are masked to +inf before the reduction, so padding can never
 be selected; padded output rows are sliced off on return.
 
-Score precision: the two l2 cross terms default to full-f32 MXU passes
-(`precision=HIGHEST`) — measured FREE at d=27 (2.49 vs 2.58 ms at the
-96px-GT shape, and the removed gather matmul more than pays for the extra
-passes) and required for selection parity with the f32 reference: at the
-backend-default bf16 passes, ~0.6% of rows select a different (near-tie)
-bank entry (f64-ground-truth agreement 0.9944 vs 1.0000; measured final
-state: ONCHIP_r04_buddy.log — index agreement 1.0000 on normal data at
-all shapes, 0.9999 on duplicate-heavy data with residual disagreements at
-relative score gaps ~1e-8, i.e. genuine f32-vs-f64 rounding ties,
-identical to the XLA-f32 path's own behavior; and the two paths are
-bit-exact against each other on-chip).
+Score precision resolves by input dtype (see `buddy_select`): f32 inputs
+run full-f32 MXU passes (`precision=HIGHEST`) — measured FREE at d=27
+(2.49 vs 2.58 ms at the 96px-GT shape, the removed gather matmul more
+than pays for the extra passes) and required for selection parity with
+the f32 reference: at the backend-default bf16 passes, ~0.6% of rows
+select a different (near-tie) bank entry (f64-ground-truth agreement
+0.9944 vs 1.0000; measured final state: ONCHIP_r04_buddy.log — index
+agreement 1.0000 on normal data at all shapes, 0.9999 on duplicate-heavy
+data with residual disagreements at relative score gaps ~1e-8, i.e.
+genuine f32-vs-f64 rounding ties, identical to the XLA-f32 path's own
+behavior; and the two paths are bit-exact against each other on-chip).
+bf16 inputs (the bf16 training step) run ONE bf16 pass, which is
+bit-identical to HIGHEST for bf16-valued operands and 6x cheaper — at
+d<=27 the K dimension fits one MXU pass either way, so HIGHEST's only
+effect was the pass multiplier.
 
 The selection is gradient-free by construction (argmin has no gradient and
 the bank derives from ground truth, so the reference's gather backward is
@@ -147,7 +151,7 @@ def buddy_select(
     n_tile: int | None = None,
     m_tile: int | None = None,
     return_index: bool = False,
-    precision=jax.lax.Precision.HIGHEST,
+    precision=None,
 ) -> jnp.ndarray:
     """p1, p2: (B, N, d); bank: (B, M, d) -> selected (B, N, d).
 
@@ -162,9 +166,25 @@ def buddy_select(
     `return_index=True` additionally returns the (B, N) int32 indices —
     the selection-identity observable the on-chip correctness sweep
     compares (tools/bench_buddy.py). `precision` feeds the two l2 score
-    contractions; HIGHEST (default) matches the CPU/f32-reference
-    selection on near-tie rows and measures free at d=27.
+    contractions; None (default) resolves by input dtype:
+
+      * f32 inputs -> HIGHEST: full f32 MXU passes, matches the
+        CPU/f32-reference selection on near-tie rows (at the backend
+        default ~0.6% of rows flip, ONCHIP_r04_buddy.log);
+      * bf16 inputs (the bf16 training step) -> DEFAULT, which is
+        BIT-IDENTICAL to HIGHEST here: bf16 x bf16 products are exact in
+        the MXU's f32 accumulator in a single pass, and HIGHEST's extra
+        split passes only add exact zeros (the f32 casts of bf16 values
+        have all-zero low parts) — so the 6x pass multiplier bought
+        nothing. Measured: the d=9 Gram selection dropped ~385 us ->
+        ~65 us/step inside the gram-vgg recipe (round-4 profile).
     """
+    if precision is None:
+        exact_bf16 = all(
+            t.dtype == jnp.bfloat16 for t in (p1, p2, bank)
+        )
+        precision = (jax.lax.Precision.DEFAULT if exact_bf16
+                     else jax.lax.Precision.HIGHEST)
     p1 = jax.lax.stop_gradient(p1)
     p2 = jax.lax.stop_gradient(p2)
     bank = jax.lax.stop_gradient(bank)

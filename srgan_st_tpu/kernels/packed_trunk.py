@@ -134,6 +134,15 @@ def unpack_image(y, w_fine):
     return y.reshape(b, h, 2 * wp, c2 // 2)[:, :, 1:w_fine + 1, :]
 
 
+def pack_image_std(x, wp):
+    """Fine (b, h, w, c) -> STD-packed (b, h, WP, 2c): std col j = fine
+    cols (2j, 2j+1); pad cols zero. This is the layout of the forward
+    kernel's A-form conv OUTPUT (a1s rides std; xs and a2s ride offset)."""
+    b, h, w, c = x.shape
+    x = jnp.pad(x, ((0, 0), (0, 0), (0, 2 * wp - w), (0, 0)))
+    return x.reshape(b, h, wp, 2 * c)
+
+
 def _roll(x, shift, interpret):
     if interpret:
         return jnp.roll(x, shift, 2)
@@ -531,3 +540,99 @@ def _packed_bwd(eps, interpret, res, cts):
 
 
 packed_trunk.defvjp(_packed_fwd, _packed_bwd)
+
+
+# ---------------------------------------------------------------------------
+# hybrid trunk: XLA forward + packed Pallas backward.
+#
+# The on-chip split (tools/bench_trunk.py, in-graph loop, v5e, b16 24x24
+# c64 n16 bf16): XLA fwd 651 us vs packed fwd 782 us, but XLA bwd 797 us
+# vs packed bwd 573 us — each direction has a different winner. XLA's
+# implicit-GEMM convs + fusion pipeline win the forward (the packed fwd
+# pays the residual-stream HBM writes AND the roll/mask overhead without
+# removing any launch-bound op pool: the fwd has no BN-backward smalls to
+# fuse away); the packed backward wins because it collapses the ~80
+# launch-bound dgamma/dbeta/wgrad reduce ops (the profiled 0.6 ms
+# multiply_reduce pool of the batch-16 GAN step) into the two dgrad/wgrad
+# MXU dots per conv it already runs.
+#
+# The forward here evaluates the exact expressions the packed kernel's
+# backward assumes (same f32 stat math, same cdt normalize ordering as
+# `_fwd_kernel.bn`), saves the per-block residuals (block inputs + both
+# bf16 conv preactivations), and hands them to `_bwd_pallas` in packed
+# layout — `pack_image` is a pad+reshape, so the repack costs one small
+# copy per residual instead of the packed forward's full relayout.
+
+def _hybrid_fwd_impl(x, w1s, w2s, g1s, b1s, g2s, b2s, als, eps):
+    n = w1s.shape[0]
+    cdt = x.dtype
+    b, h, w_fine, c = x.shape
+    if w_fine % 2:
+        raise ValueError(f"hybrid_trunk needs an even fine width, got {w_fine}")
+
+    def conv(src, w):
+        return lax.conv_general_dilated(
+            src, w.astype(cdt), (1, 1), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+
+    def bn(a_bf, g, bias, alpha=None):
+        """Same stat + normalize expressions as `_fwd_kernel.bn` (f32
+        stats, f32 rsqrt rounded to cdt, cdt affine) so the saved bf16
+        preactivations reproduce the forward exactly in the backward's
+        `_recompute_h`-equivalent."""
+        af = a_bf.astype(jnp.float32)
+        m = jnp.mean(af, (0, 1, 2))
+        v = jnp.maximum(jnp.mean(af * af, (0, 1, 2)) - m * m, 0.0)
+        inv = lax.rsqrt(v + jnp.float32(eps)).astype(cdt)
+        out = (a_bf - m.astype(cdt)) * inv
+        out = out * g.astype(cdt) + bias.astype(cdt)
+        if alpha is not None:
+            out = jnp.where(
+                out.astype(jnp.float32) >= 0, out, alpha.astype(cdt) * out
+            )
+        return out, m, v
+
+    xs, a1s, a2s, stats = [], [], [], []
+    for i in range(n):
+        xs.append(x)
+        a1 = conv(x, w1s[i])
+        hval, m1, v1 = bn(a1, g1s[i], b1s[i], als[i])
+        a2 = conv(hval, w2s[i])
+        bn2, m2, v2 = bn(a2, g2s[i], b2s[i])
+        x = x + bn2
+        a1s.append(a1)
+        a2s.append(a2)
+        stats.append(jnp.stack([m1, v1, m2, v2]))
+    st = jnp.stack(stats)  # (n, 4, c) f32 biased batch stats (EMA contract)
+
+    wp = _wpad(w_fine)
+    pack_off = jax.vmap(lambda t: pack_image(t, wp))
+    pack_std = jax.vmap(lambda t: pack_image_std(t, wp))
+    res_pk = (
+        pack_off(jnp.stack(xs)),   # block inputs ride the offset pack
+        pack_std(jnp.stack(a1s)),  # conv1 preacts: A-form output = std
+        pack_off(jnp.stack(a2s)),  # conv2 preacts: B-form output = offset
+        jnp.concatenate([st, st], -1),  # packed-replicated (n, 4, 2c)
+    )
+    return x, st, res_pk
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9))
+def hybrid_trunk(x, w1s, w2s, g1s, b1s, g2s, b2s, als, eps=1e-5,
+                 interpret=False):
+    """Same API and gradient contract as `packed_trunk` (stats are
+    non-differentiable EMA side-state); XLA forward, Pallas backward."""
+    y, st, _ = _hybrid_fwd_impl(x, w1s, w2s, g1s, b1s, g2s, b2s, als, eps)
+    return y, st
+
+
+def _hybrid_fwd(x, w1s, w2s, g1s, b1s, g2s, b2s, als, eps, interpret):
+    y, st, (xsp, a1sp, a2sp, stp) = _hybrid_fwd_impl(
+        x, w1s, w2s, g1s, b1s, g2s, b2s, als, eps
+    )
+    res = (w1s, w2s, g1s, b1s, g2s, als, stp, xsp, a1sp, a2sp)
+    return (y, st), res
+
+
+hybrid_trunk.defvjp(_hybrid_fwd, _packed_bwd)

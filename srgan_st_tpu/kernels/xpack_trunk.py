@@ -1,0 +1,160 @@
+"""Lane-packed residual trunk in PURE XLA (no Pallas, no custom calls).
+
+Same W-parity packing as kernels/packed_trunk.py (fine (B, H, W, C) ->
+coarse (B, H, W/2+1, 2C), channels-last so the packed channel dim fills a
+full 128-lane tile at C=64), but the A/B-form conv algebra is expressed as
+ordinary `lax.conv_general_dilated` calls instead of Mosaic dots + rolls:
+
+  A-form (offset-in -> std-out):  out[j] = q0 . src[j] + q1 . src[j+1]
+      == conv with kernel (3, 2, 2C, 2C) = [q0 | q1], W padding (0, 1)
+  B-form (std-in -> offset-out):  out[j] = q0 . src[j-1] + q1 . src[j]
+      == the same kernel layout with W padding (1, 0)
+
+where the q-blocks are `pack_conv_blocks`' weight-space transform of the
+fine 3x3 kernel (a pure reshape/concat of the (C, C) taps, vmapped over
+blocks — a handful of medium XLA ops per step, not per block). The roll
+of the Pallas kernel disappears into the conv's tap offset.
+
+Why this exists when the Pallas packed trunk (fwd+bwd kernels) already
+does the same packing:
+
+  * the backward is plain AUTODIFF — dgrad is the transposed-kernel
+    conv (full-lane), wgrad a full-lane (6144, 128)^T contraction, and
+    the BN-backward reduces run on half the bytes (no 64->128 lane
+    padding in HBM for the packed activations);
+  * no custom calls -> GSPMD-compatible: under a sharded-batch mesh the
+    stat sums below turn into XLA collectives automatically, i.e. EXACT
+    sync-BN semantics — the Pallas kernels are gated to single-device /
+    LOCAL_BN because their in-VMEM stats are inherently per-shard;
+  * none of the Pallas path's per-step integration overhead (residual
+    stacking, flip-packs, wgrad unpacking measured ~0.2 ms/step).
+
+Numerics: identical math to the unfused flax path at f32; at bf16 it
+matches to accumulation-order rounding (same contract as the Pallas
+trunks; gates in tests/test_kernels.py::TestXpackTrunk).
+
+Reference semantics reproduced: model.py:169-184 (`_ResidualConvBlock`),
+model.py:106-109 (the 16-block trunk).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from srgan_st_tpu.kernels.packed_trunk import pack_conv_blocks
+
+
+def _xpack_wp(w_fine: int) -> int:
+    """Offset-pack coarse width: w/2 + 1 (no sublane rounding — XLA picks
+    physical padding itself; logical pad columns would only add FLOPs)."""
+    return w_fine // 2 + 1
+
+
+def pack_image_x(x, wp):
+    """Fine (b, h, w, c) -> offset-packed (b, h, wp, 2c); pad cols zero.
+    Offset col j holds fine cols (2j-1, 2j)."""
+    b, h, w, c = x.shape
+    x = jnp.pad(x, ((0, 0), (0, 0), (1, 2 * wp - w - 1), (0, 0)))
+    return x.reshape(b, h, wp, 2 * c)
+
+
+def unpack_image_x(y, w_fine):
+    b, h, wp, c2 = y.shape
+    return y.reshape(b, h, 2 * wp, c2 // 2)[:, :, 1:w_fine + 1, :]
+
+
+def _masks(w_fine, wp, c, dtype):
+    """(mska, mskb): (1, 1, wp, 2c) multiplicative masks for the std pack
+    (wc real cols) and the offset pack (wc+1 cols, 2 dead slots)."""
+    wc = w_fine // 2
+    mska = np.zeros((1, 1, wp, 2 * c), np.float32)
+    mska[:, :, :wc, :] = 1.0
+    mskb = np.zeros((1, 1, wp, 2 * c), np.float32)
+    mskb[:, :, :wc + 1, :] = 1.0
+    mskb[:, :, 0, :c] = 0.0       # fine col -1
+    mskb[:, :, wc, c:] = 0.0      # fine col w
+    return jnp.asarray(mska, dtype), jnp.asarray(mskb, dtype)
+
+
+def _conv_packed_xla(src, wq, form):
+    """src (b, h, wp, 2c) cdt; wq (3, 2, 2c, 2c) HWIO q-blocks. Returns the
+    UNMASKED (b, h, wp, 2c) conv result in cdt (XLA's conv accumulates f32
+    and rounds once, like the fine-layout flax conv)."""
+    pad_w = (0, 1) if form == "A" else (1, 0)
+    return lax.conv_general_dilated(
+        src, wq, (1, 1), [(1, 1), pad_w],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+
+
+def xpack_trunk(x, w1s, w2s, g1s, b1s, g2s, b2s, als, eps=1e-5,
+                axis_name=None, local_bn=False):
+    """Drop-in for fused_trunk/packed_trunk: x (B, H, W, C) + stacked
+    per-block params -> (y, stats), stats (N, 4, C) biased fp32 batch
+    stats for the EMA. Plain autodiff — no custom_vjp; differentiating
+    through the batch stats is exactly flax BatchNorm's train-mode
+    backward.
+
+    `axis_name` + sync-BN (local_bn=False): stat sums are pmean'd across
+    the shard axis before normalizing — exact sync-BN, matching the
+    unfused flax path under shard_map. With local_bn=True the stats stay
+    per-shard (the caller pmeans the EMA moments, generator.py). Under
+    GSPMD (axis_name=None, batch sharded) the sums reduce globally via
+    XLA's inserted collectives automatically.
+    """
+    n = w1s.shape[0]
+    b, h, w_fine, c = x.shape
+    if w_fine % 2:
+        raise ValueError(f"xpack_trunk needs an even fine width, got {w_fine}")
+    cdt = x.dtype
+    wp = _xpack_wp(w_fine)
+    mska, mskb = _masks(w_fine, wp, c, cdt)
+    idx = np.arange(2 * c)
+    pp = jnp.asarray(idx[:, None] % c == idx[None, :] % c, jnp.float32)
+    nelem = b * h * w_fine
+    if axis_name is not None and not local_bn:
+        nelem = nelem * lax.axis_size(axis_name)
+
+    wq1 = jax.vmap(pack_conv_blocks)(w1s.astype(cdt))  # (n, 3, 2, 2c, 2c)
+    wq2 = jax.vmap(pack_conv_blocks)(w2s.astype(cdt))
+
+    def bn(acc, mask, g, bias, alpha=None):
+        """Masked cdt conv result -> (masked cdt out, fine (m, v)). Same
+        f32-stats / cdt-normalize expressions as the other trunk paths."""
+        a_bf = acc * mask
+        af = a_bf.astype(jnp.float32)
+        s = jnp.sum(af, (0, 1, 2))
+        ssq = jnp.sum(af * af, (0, 1, 2))
+        if axis_name is not None and not local_bn:
+            s = lax.psum(s, axis_name)
+            ssq = lax.psum(ssq, axis_name)
+        sp = s @ pp  # packed-replicated per-fine-channel sums
+        ssqp = ssq @ pp
+        m = sp / nelem
+        v = jnp.maximum(ssqp / nelem - m * m, 0.0)
+        inv = lax.rsqrt(v + jnp.float32(eps)).astype(cdt)
+        gp = jnp.concatenate([g, g]).astype(cdt)
+        bp = jnp.concatenate([bias, bias]).astype(cdt)
+        out = (a_bf - m.astype(cdt)) * inv * gp + bp
+        if alpha is not None:
+            out = jnp.where(
+                out.astype(jnp.float32) >= 0, out, alpha.astype(cdt) * out
+            )
+        out = out * mask
+        return out, m[:c], v[:c]
+
+    xq = pack_image_x(x.astype(cdt), wp)
+    stats = []
+    for i in range(n):
+        hval, m1, v1 = bn(
+            _conv_packed_xla(xq, wq1[i], "A"), mska, g1s[i], b1s[i], als[i]
+        )
+        bn2, m2, v2 = bn(
+            _conv_packed_xla(hval, wq2[i], "B"), mskb, g2s[i], b2s[i]
+        )
+        xq = xq + bn2
+        stats.append(jnp.stack([m1, v1, m2, v2]))
+    return unpack_image_x(xq, w_fine), jnp.stack(stats)

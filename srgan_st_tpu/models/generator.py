@@ -110,11 +110,13 @@ class Generator(nn.Module):
     # multi-chip mesh would all-gather custom-call operands), else the
     # plain XLA coarse conv. "pallas"/1 force a path.
     conv3_inner: int | str | None = None
-    # trunk execution: None=auto (fused Pallas kernel when train-mode,
-    # bf16, single-device, no axis_name — see kernels/fused_trunk.py;
-    # unfused flax blocks elsewhere), "unfused"/"fused"/"fused_interpret"
-    # force a path. The parameter/batch-stat TREE is identical either way
-    # (the fused path reads the per-RCB subtrees and stacks them).
+    # trunk execution: None=auto (see _trunk_mode), or force one of
+    # "unfused" (flax blocks), "fused" (whole-trunk Pallas fwd,
+    # kernels/fused_trunk.py), "packed" (lane-packed Pallas fwd+bwd,
+    # kernels/packed_trunk.py), "hybrid" (XLA fwd + packed Pallas bwd —
+    # each direction's measured winner), or a "*_interpret" variant. The
+    # parameter/batch-stat TREE is identical in every mode (the kernel
+    # paths read the per-RCB subtrees and stack them).
     trunk_mode: str | None = None
 
     @classmethod
@@ -179,7 +181,10 @@ class Generator(nn.Module):
         per-RCB subtrees directly via the module scope)."""
         # eval always runs unfused: the kernel has no running-average mode
         mode = self._trunk_mode(train, x) if train else "unfused"
-        if mode != "unfused" and self.axis_name is not None and not self.local_bn:
+        if mode == "xpack" and x.shape[2] % 2:
+            mode = "unfused"  # the W-parity pack needs an even fine width
+        if (mode != "unfused" and not mode.startswith("xpack")
+                and self.axis_name is not None and not self.local_bn):
             # both Pallas trunks compute BN stats in-VMEM (per shard);
             # under shard_map with sync-BN that silently changes the
             # normalization semantics. Auto falls back; an explicitly
@@ -192,7 +197,7 @@ class Generator(nn.Module):
                     "global-moment EMA) or trunk_mode='unfused'"
                 )
             mode = "unfused"
-        if mode == "packed" and not self._packed_ok(x):
+        if mode in ("packed", "hybrid") and not self._packed_ok(x):
             mode = "unfused"  # out-of-gate shapes/meshes fall back safely
         rcb0 = self.scope.get_variable("params", "rcb0")
         if mode == "unfused" or self.is_initializing() or rcb0 is None:
@@ -216,12 +221,21 @@ class Generator(nn.Module):
             for i in range(self.num_rcb)
         ]
         operands = stack_rcb_params(rcb_params)
-        if mode.startswith("packed"):
-            from srgan_st_tpu.kernels.packed_trunk import packed_trunk
+        if mode.startswith("xpack"):
+            from srgan_st_tpu.kernels.xpack_trunk import xpack_trunk
 
-            y, stats = packed_trunk(
-                x, *operands, 1e-5, mode == "packed_interpret"
+            y, stats = xpack_trunk(
+                x, *operands, 1e-5,
+                axis_name=self.axis_name, local_bn=self.local_bn,
             )
+        elif mode.startswith("packed") or mode.startswith("hybrid"):
+            from srgan_st_tpu.kernels.packed_trunk import (
+                hybrid_trunk,
+                packed_trunk,
+            )
+
+            fn = hybrid_trunk if mode.startswith("hybrid") else packed_trunk
+            y, stats = fn(x, *operands, 1e-5, mode.endswith("_interpret"))
         else:
             y, stats = fused_trunk(
                 x, *operands, 1e-5, mode == "fused_interpret"

@@ -112,6 +112,30 @@ def test_buddy_select_alpha_beta(rng):
     np.testing.assert_allclose(np.asarray(got), np.asarray(golden), atol=1e-6)
 
 
+def test_buddy_select_bf16_default_precision_bit_identical(rng):
+    """The dtype-resolved precision default: on bf16 inputs a single
+    DEFAULT MXU pass must select BIT-identically to HIGHEST (bf16 x bf16
+    products are exact in the f32 accumulator; HIGHEST's split passes add
+    exact zeros) — the 6x pass multiplier the round-4 profile found
+    burning ~385 us/step in the gram-vgg recipe bought nothing. Near-tie
+    rows (duplicate bank entries) are included to stress the claim."""
+    b, n, m, d = 2, 64, 96, 9
+    p1 = jnp.asarray(rng.random((b, n, d), dtype=np.float32), jnp.bfloat16)
+    p2 = jnp.asarray(rng.random((b, n, d), dtype=np.float32), jnp.bfloat16)
+    bank = jnp.asarray(rng.random((b, m, d), dtype=np.float32), jnp.bfloat16)
+    bank = jnp.concatenate([bank, bank[:, :16]], axis=1)  # exact duplicates
+    _, idx_def = buddy_select(p1, p2, bank, interpret=True, return_index=True)
+    _, idx_hi = buddy_select(p1, p2, bank, interpret=True, return_index=True,
+                             precision=jax.lax.Precision.HIGHEST)
+    np.testing.assert_array_equal(np.asarray(idx_def), np.asarray(idx_hi))
+    # f32 inputs keep resolving to the reference-parity HIGHEST path
+    _, idx_f32 = buddy_select(
+        p1.astype(jnp.float32), p2.astype(jnp.float32),
+        bank.astype(jnp.float32), interpret=True, return_index=True,
+    )
+    np.testing.assert_array_equal(np.asarray(idx_f32), np.asarray(idx_hi))
+
+
 class TestCoarseConv:
     @pytest.mark.parametrize("shape", [(2, 8, 8, 8, 4), (1, 12, 16, 16, 3)])
     def test_matches_xla_coarse_conv(self, rng, shape):
@@ -456,6 +480,255 @@ class TestPackedTrunk:
                         jax.tree_util.tree_leaves(mut_pk)):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        atol=1e-5, rtol=1e-5)
+
+
+class TestXpackTrunk:
+    """kernels/xpack_trunk.py — the W-parity packed trunk as PURE XLA
+    convs (no Pallas, plain autodiff, GSPMD/sync-BN compatible)."""
+
+    def _args(self, rng, n=2, c=32):
+        f = lambda *s: jnp.asarray(rng.standard_normal(s), np.float64).astype(  # noqa: E731
+            jnp.float32
+        )
+        return (f(n, 3, 3, c, c) * 0.05, f(n, 3, 3, c, c) * 0.05,
+                1 + 0.1 * f(n, c), 0.1 * f(n, c),
+                1 + 0.1 * f(n, c), 0.1 * f(n, c), 0.25 + 0.01 * f(n))
+
+    def test_f32_forward_and_grads_match_reference(self, rng):
+        """At f32 the packed-conv algebra must reproduce the fine-layout
+        trunk (values, stats, and autodiff grads) to fp tolerance."""
+        from srgan_st_tpu.kernels.fused_trunk import trunk_reference
+        from srgan_st_tpu.kernels.xpack_trunk import xpack_trunk
+
+        args = self._args(rng)
+        x = jnp.asarray(rng.standard_normal((2, 8, 8, 32)), jnp.float32)
+        y_ref, st_ref = trunk_reference(x, *args)
+        y_x, st_x = xpack_trunk(x, *args)
+        np.testing.assert_allclose(np.asarray(y_x), np.asarray(y_ref), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(st_x), np.asarray(st_ref), atol=1e-5)
+
+        def loss_x(x, *a):
+            return jnp.sum(xpack_trunk(x, *a)[0] ** 2)
+
+        def loss_r(x, *a):
+            return jnp.sum(trunk_reference(x, *a)[0] ** 2)
+
+        gx = jax.grad(loss_x, argnums=tuple(range(8)))(x, *args)
+        gr = jax.grad(loss_r, argnums=tuple(range(8)))(x, *args)
+        for a, b in zip(gx, gr):
+            scale = float(jnp.abs(b).max()) + 1e-9
+            assert float(jnp.abs(a - b).max()) / scale < 1e-4
+
+    def test_odd_width_falls_back(self, rng):
+        """trunk_mode='xpack' at an odd trunk width silently runs the
+        unfused path (bit-identical); the raw op rejects odd widths."""
+        from srgan_st_tpu.kernels.xpack_trunk import xpack_trunk
+        from srgan_st_tpu.models.generator import Generator
+
+        args = self._args(rng, n=1, c=32)
+        x_odd = jnp.asarray(rng.standard_normal((1, 4, 7, 32)), jnp.float32)
+        with pytest.raises(ValueError):
+            xpack_trunk(x_odd, *args)
+
+        g_un = Generator(channels=32, num_rcb=2, upscale=4, trunk_mode="unfused")
+        g_x = Generator(channels=32, num_rcb=2, upscale=4, trunk_mode="xpack")
+        lr = jnp.asarray(rng.random((2, 7, 7, 3), np.float32))  # odd trunk W
+        v = g_un.init(jax.random.key(0), lr[:1], train=False)
+        out_un, _ = g_un.apply(v, lr, train=True, mutable=["batch_stats"])
+        out_x, _ = g_x.apply(v, lr, train=True, mutable=["batch_stats"])
+        np.testing.assert_array_equal(np.asarray(out_un), np.asarray(out_x))
+
+    def test_warmup_step_xpack_matches_unfused(self, rng):
+        """Integration: a full jitted warmup step with TPU.TRUNK_MODE=
+        'xpack' must match the unfused step — params, batch-stat EMA,
+        metrics (f32, so to fp tolerance)."""
+        from srgan_st_tpu.core.config import Config
+        from srgan_st_tpu.losses.registry import build_warmup_criterions
+        from srgan_st_tpu.models.generator import Generator
+        from srgan_st_tpu.train.steps import (
+            create_generator_state,
+            make_g_optimizer,
+            make_warmup_step,
+        )
+
+        def run(trunk_mode):
+            config = Config()
+            config.DATA.SYNTHETIC = True
+            config.DATA.BATCH_SIZE = 4
+            config.DATA.GT_IMAGE_SIZE = 32
+            config.MODEL.G_N_RCB = 2
+            config.MODEL.G_N_CHANNEL = 16
+            config.TPU.TRUNK_MODE = trunk_mode
+            g_model = Generator.from_config(config)
+            g_tx = make_g_optimizer(config, 10, milestones=False)
+            crits = build_warmup_criterions(config)
+            state = create_generator_state(config, g_model, g_tx)
+            step = jax.jit(make_warmup_step(config, g_model, crits, g_tx))
+            batch = jnp.asarray(
+                np.random.default_rng(3).integers(0, 256, (4, 32, 32, 3)),
+                jnp.uint8,
+            )
+            for _ in range(2):
+                state, metrics = step(state, batch)
+            return state, metrics
+
+        s_un, m_un = run("unfused")
+        s_x, m_x = run("xpack")
+        assert abs(float(m_x["G_Loss"]) - float(m_un["G_Loss"])) < 1e-5
+        for a, b in zip(jax.tree_util.tree_leaves(s_un.g_params),
+                        jax.tree_util.tree_leaves(s_x.g_params)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=5e-5, rtol=1e-4)
+        for a, b in zip(jax.tree_util.tree_leaves(s_un.g_stats),
+                        jax.tree_util.tree_leaves(s_x.g_stats)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=5e-5, rtol=1e-4)
+
+    def test_xpack_shard_map_sync_bn_matches_unfused(self, rng):
+        """The xpack differentiator vs the Pallas trunks: under shard_map
+        WITHOUT LOCAL_BN it implements exact sync-BN (psum'd stat sums),
+        so it must match the unfused flax sync-BN path — outputs and the
+        batch-stat EMA."""
+        from jax.sharding import PartitionSpec as P
+
+        from srgan_st_tpu.models.generator import Generator
+        from srgan_st_tpu.parallel.mesh import make_mesh, shard_map_step
+
+        mesh = make_mesh()
+        lr = jnp.asarray(rng.random((16, 8, 8, 3), np.float32))
+
+        def run(trunk_mode):
+            g = Generator(channels=32, num_rcb=2, upscale=4,
+                          axis_name="data", local_bn=False,
+                          trunk_mode=trunk_mode)
+            v = g.init(jax.random.key(0), lr[:1], train=False)
+
+            def f(x):
+                return g.apply(v, x, train=True, mutable=["batch_stats"])
+
+            y, mut = jax.jit(
+                shard_map_step(f, mesh, in_specs=P("data"),
+                               out_specs=(P("data"), P()))
+            )(lr)
+            return np.asarray(y, np.float32), mut
+
+        y_un, mut_un = run("unfused")
+        y_x, mut_x = run("xpack")
+        np.testing.assert_allclose(y_x, y_un, atol=1e-5)
+        assert (jax.tree_util.tree_structure(mut_un)
+                == jax.tree_util.tree_structure(mut_x))
+        for a, b in zip(jax.tree_util.tree_leaves(mut_un),
+                        jax.tree_util.tree_leaves(mut_x)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-5, rtol=1e-5)
+
+
+class TestHybridTrunk:
+    """kernels/packed_trunk.py::hybrid_trunk — XLA forward + the packed
+    Pallas backward (each direction's measured on-chip winner; the bwd
+    kernel runs in interpret mode here, same code on the real TPU)."""
+
+    def _args(self, rng, n=2, c=32):
+        f = lambda *s: jnp.asarray(rng.standard_normal(s), np.float64).astype(  # noqa: E731
+            jnp.float32
+        )
+        return (f(n, 3, 3, c, c) * 0.05, f(n, 3, 3, c, c) * 0.05,
+                1 + 0.1 * f(n, c), 0.1 * f(n, c),
+                1 + 0.1 * f(n, c), 0.1 * f(n, c), 0.25 + 0.01 * f(n))
+
+    def test_f32_forward_and_grads_match_reference(self, rng):
+        """At f32 the XLA forward and the packed backward must match
+        autodiff of the same math to fp tolerance — validates that the
+        forward's saved residuals (stats conventions, packed layouts)
+        reproduce exactly what `_bwd_pallas` assumes."""
+        from srgan_st_tpu.kernels.fused_trunk import trunk_reference
+        from srgan_st_tpu.kernels.packed_trunk import hybrid_trunk
+
+        args = self._args(rng)
+        x = jnp.asarray(rng.standard_normal((2, 8, 8, 32)), jnp.float32)
+        y_ref, st_ref = trunk_reference(x, *args)
+        y_h, st_h = hybrid_trunk(x, *args, 1e-5, True)
+        np.testing.assert_allclose(np.asarray(y_h), np.asarray(y_ref), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(st_h), np.asarray(st_ref), atol=1e-5)
+
+        def loss_h(x, *a):
+            return jnp.sum(hybrid_trunk(x, *a, 1e-5, True)[0] ** 2)
+
+        def loss_r(x, *a):
+            return jnp.sum(trunk_reference(x, *a)[0] ** 2)
+
+        gh = jax.grad(loss_h, argnums=tuple(range(8)))(x, *args)
+        gr = jax.grad(loss_r, argnums=tuple(range(8)))(x, *args)
+        for a, b in zip(gh, gr):
+            scale = float(jnp.abs(b).max()) + 1e-9
+            assert float(jnp.abs(a - b).max()) / scale < 1e-4
+
+    def test_odd_width_rejected(self, rng):
+        from srgan_st_tpu.kernels.packed_trunk import hybrid_trunk
+
+        args = self._args(rng, n=1, c=32)
+        x_odd = jnp.asarray(rng.standard_normal((1, 4, 7, 32)), jnp.float32)
+        with pytest.raises(ValueError):
+            hybrid_trunk(x_odd, *args, 1e-5, True)
+
+    def test_warmup_step_hybrid_matches_unfused(self, rng):
+        """Integration: a full jitted warmup step with
+        TPU.TRUNK_MODE='hybrid_interpret' must match the unfused step from
+        the same initial state — params, batch-stat EMA, and metrics."""
+        from srgan_st_tpu.core.config import Config
+        from srgan_st_tpu.losses.registry import build_warmup_criterions
+        from srgan_st_tpu.models.generator import Generator
+        from srgan_st_tpu.train.steps import (
+            create_generator_state,
+            make_g_optimizer,
+            make_warmup_step,
+        )
+
+        def run(trunk_mode):
+            config = Config()
+            config.DATA.SYNTHETIC = True
+            config.DATA.BATCH_SIZE = 4
+            config.DATA.GT_IMAGE_SIZE = 32
+            config.MODEL.G_N_RCB = 2
+            config.MODEL.G_N_CHANNEL = 16
+            config.TPU.TRUNK_MODE = trunk_mode
+            g_model = Generator.from_config(config)
+            g_tx = make_g_optimizer(config, 10, milestones=False)
+            crits = build_warmup_criterions(config)
+            state = create_generator_state(config, g_model, g_tx)
+            step = jax.jit(make_warmup_step(config, g_model, crits, g_tx))
+            batch = jnp.asarray(
+                np.random.default_rng(3).integers(0, 256, (4, 32, 32, 3)),
+                jnp.uint8,
+            )
+            for _ in range(2):
+                state, metrics = step(state, batch)
+            return state, metrics
+
+        s_un, m_un = run("unfused")
+        s_h, m_h = run("hybrid_interpret")
+        assert abs(float(m_h["G_Loss"]) - float(m_un["G_Loss"])) < 1e-5
+        for a, b in zip(jax.tree_util.tree_leaves(s_un.g_params),
+                        jax.tree_util.tree_leaves(s_h.g_params)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=5e-5, rtol=1e-4)
+        for a, b in zip(jax.tree_util.tree_leaves(s_un.g_stats),
+                        jax.tree_util.tree_leaves(s_h.g_stats)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=5e-5, rtol=1e-4)
+
+    def test_hybrid_gate_falls_back_out_of_envelope(self, rng):
+        """trunk_mode='hybrid' outside the semantics gate (f32, 8-device
+        CPU) must silently run the unfused path, bit-identical to it."""
+        from srgan_st_tpu.models.generator import Generator
+
+        g_un = Generator(channels=32, num_rcb=2, upscale=4, trunk_mode="unfused")
+        g_h = Generator(channels=32, num_rcb=2, upscale=4, trunk_mode="hybrid")
+        lr = jnp.asarray(rng.random((2, 12, 12, 3), np.float32))
+        v = g_un.init(jax.random.key(0), lr[:1], train=False)
+        out_un, _ = g_un.apply(v, lr, train=True, mutable=["batch_stats"])
+        out_h, _ = g_h.apply(v, lr, train=True, mutable=["batch_stats"])
+        np.testing.assert_array_equal(np.asarray(out_un), np.asarray(out_h))
 
 
 @pytest.mark.tpu

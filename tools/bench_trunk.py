@@ -2,15 +2,19 @@
 
 Shapes are the GAN-training point (batch 16, 24x24, 64ch, 16 RCBs, bf16).
 Measures forward-only and the full value+grad (the training direction) for
-both paths, plus numerics deltas. Timing uses data-dependent chains
-(CLAUDE.md: independent dispatches get pipelined by the axon tunnel).
-"""
+both paths, plus numerics deltas. Timing threads x through an in-graph
+`lax.fori_loop` of R iterations per dispatch: one host dispatch through
+the axon tunnel costs ~1-2 ms, which swamps the sub-ms kernels when each
+call is its own dispatch (the data-dependent host chain alone is NOT
+enough here — it prevents pipelining/dedup but still pays the RPC per
+step)."""
 
 import time
 
 import numpy as np
 import jax
 import jax.numpy as jnp
+from jax import lax
 
 from srgan_st_tpu.kernels.fused_trunk import trunk_reference
 from srgan_st_tpu.kernels.packed_trunk import packed_trunk
@@ -18,7 +22,8 @@ from srgan_st_tpu.kernels.packed_trunk import packed_trunk
 N, C = 16, 64
 B, H, W = 16, 24, 24
 DT = jnp.bfloat16
-ITERS = 30
+R_INNER = 20   # iterations per dispatch (in-graph loop)
+ITERS = 5      # timed dispatches
 
 rng = np.random.default_rng(0)
 f = lambda *s: jnp.asarray(rng.standard_normal(s).astype(np.float32))  # noqa: E731
@@ -29,14 +34,18 @@ x = f(B, H, W, C).astype(DT)
 
 
 def chain(fn, x, n):
-    """Data-dependent timing chain: thread x through fn."""
-    y = fn(x)
+    """Per-iteration us: n timed dispatches of an R_INNER-step in-graph
+    data-dependent loop (x threads through every iteration)."""
+    looped = jax.jit(
+        lambda x0: lax.fori_loop(0, R_INNER, lambda i, xi: fn(xi), x0)
+    )
+    y = looped(x)
     jax.block_until_ready(y)
     t0 = time.perf_counter()
     for _ in range(n):
-        y = fn(y)
+        y = looped(y)
     jax.block_until_ready(y)
-    return (time.perf_counter() - t0) / n * 1e6  # us
+    return (time.perf_counter() - t0) / (n * R_INNER) * 1e6  # us
 
 
 # --- forward only -----------------------------------------------------------
