@@ -57,6 +57,23 @@ WARMUP_ITERS = 2
 MEASURE_ITERS = 5
 
 
+def fetch_barrier(tree) -> float:
+    """TRUE completion barrier: fetch a scalar reduced from one leaf.
+
+    On the axon tunnel `jax.block_until_ready` is a NO-OP while the
+    executable's background second-stage compile is in flight (measured:
+    returns in 0.000s with 59s of queued work; PERF.md "bench
+    methodology"). Only a device->host VALUE FETCH reliably waits — and
+    once one fetch has finalized the executable, block_until_ready works
+    again. Every warmup and every timed region must therefore END with a
+    fetch, not a block."""
+    import jax
+    import jax.numpy as jnp
+
+    leaf = jax.tree_util.tree_leaves(tree)[0]
+    return float(jnp.sum(leaf.astype(jnp.float32)))
+
+
 def _make_config(name: str):
     from srgan_st_tpu.core.config import Config
 
@@ -137,15 +154,16 @@ def measure(name: str) -> dict:
     )
 
     # warmup / compile (timing note: state threads through every call, so
-    # the measured loop is a true data-dependent chain)
+    # the measured loop is a true data-dependent chain); the barrier is a
+    # VALUE FETCH — see fetch_barrier
     for _ in range(WARMUP_ITERS):
         state, metrics = chunk_fn(state, chunk, True)
-    jax.block_until_ready(state)
+    fetch_barrier(metrics)
 
     start = time.perf_counter()
     for _ in range(MEASURE_ITERS):
         state, metrics = chunk_fn(state, chunk, True)
-    jax.block_until_ready(state)
+    fetch_barrier(metrics)
     elapsed = time.perf_counter() - start
 
     patches = MEASURE_ITERS * k * config.DATA.BATCH_SIZE
@@ -249,9 +267,10 @@ def measure_e2e(stream: bool = False) -> dict:
     it = iter_chunks(source, 0, k, mesh=mesh)
     warm = next(it)
     it.close()
+    metrics = None
     for _ in range(WARMUP_ITERS):
-        state, _ = chunk_fn(state, warm, True)
-    jax.block_until_ready(state)
+        state, metrics = chunk_fn(state, warm, True)
+    fetch_barrier(metrics)
 
     epochs = 2
     patches = 0
@@ -260,10 +279,10 @@ def measure_e2e(stream: bool = False) -> dict:
         batch_num = 0
         for chunk in iter_chunks(source, epoch, k, mesh=mesh):
             do_d = batch_num % k == 0
-            state, _ = chunk_fn(state, chunk, do_d)
+            state, metrics = chunk_fn(state, chunk, do_d)
             batch_num += len(chunk)
             patches += chunk.shape[0] * chunk.shape[1]
-    jax.block_until_ready(state)
+    fetch_barrier(metrics)
     elapsed = time.perf_counter() - start
     per_chip = patches / elapsed / n_chips
     path = ("host mmap stream" if stream else "HBM-resident pack")
@@ -283,10 +302,20 @@ def measure_infer() -> dict:
     3840x2160 HR), batch-1 whole-image (the reference's serving shape,
     validate.py:73-77), bf16, single chip. Reported in HR megapixels/s.
 
-    The timing loop threads a scalar of each output back into the next
-    input (data-dependent chain — CLAUDE.md: independent dispatches get
-    pipelined by the axon tunnel); outputs stay on device, so this
-    isolates the accelerator, like the training headline.
+    Timing discipline (all learned the hard way, PERF.md "bench
+    methodology"): the next input mixes the 4x4-average-pool of the
+    PREVIOUS output frame (a dependency that CONSUMES EVERY HR pixel)
+    with a fresh noise frame per step (the chain never repeats a value).
+    Three broken chains preceded it, each defeated by a different layer:
+    `x + 0.0 * mean(sr)` was algebraically folded and the generator
+    DCE'd (34,306 / 60,000+ MP/s — petaFLOP/s-impossible); the strided
+    slice `sr[:, ::4, ::4]` let XLA slice-propagate through conv3 + the
+    pixel-shuffles and compute ~1/16 of the net (20,872 MP/s); the pure
+    pool chain CONVERGED — clamp [0, 1] + pooling reach a bit-exact
+    fixed point in ~10 frames, the dispatches become identical, and the
+    axon tunnel dedups them (43,006 MP/s). Warmup also counts DISPATCHES,
+    not calls-until-ready (the tunnel's background second-stage compile
+    runs ~1s into a fresh executable's life).
 
     vs_baseline anchor: the generator forward is ~0.28 MFLOP/HR pixel
     (conv1 9x9 + 16 RCBs + upsample stack + conv3 9x9 at HR); an A100 at
@@ -306,23 +335,32 @@ def measure_infer() -> dict:
 
     rng = np.random.default_rng(0)
     lr = jnp.asarray(rng.random((1, h, w, 3), np.float32))
+    noise = jnp.asarray(rng.random((8, 1, h, w, 3), np.float32))
     variables = g_model.init(jax.random.key(0), lr[:, :24, :24], train=False)
     variables = jax.device_put(variables)
 
     @jax.jit
-    def step(v, x):
+    def step(v, x, z, i):
         sr = g_model.apply(v, x, train=False)
-        # thread a scalar back so consecutive calls form a dependent chain
-        return x + 0.0 * jnp.mean(sr)
+        # next LR frame = 4x4 average pool of this SR frame (consumes
+        # every HR pixel) mixed with a fresh noise frame; the strictly
+        # increasing scalar i makes every dispatch's operands distinct
+        # even if the image iterates ever cycled
+        b, hh, ww, c = sr.shape
+        pooled = sr.reshape(b, hh // s, s, ww // s, s, c).mean((2, 4))
+        return (0.5 * pooled + 0.5 * z + 1e-7 * i).astype(x.dtype)
 
-    for _ in range(WARMUP_ITERS):
-        lr = step(variables, lr)
-    jax.block_until_ready(lr)
-    iters = 10
+    n = 0
+    for _ in range(12):  # past the tunnel's background-compile bleed
+        lr = step(variables, lr, noise[n % 8], jnp.float32(n))
+        n += 1
+    fetch_barrier(lr)
+    iters = 20
     start = time.perf_counter()
     for _ in range(iters):
-        lr = step(variables, lr)
-    jax.block_until_ready(lr)
+        lr = step(variables, lr, noise[n % 8], jnp.float32(n))
+        n += 1
+    fetch_barrier(lr)
     elapsed = time.perf_counter() - start
 
     mps = iters * (h * s) * (w * s) / elapsed / 1e6 / len(jax.devices())

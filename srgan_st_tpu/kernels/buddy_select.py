@@ -43,10 +43,11 @@ agreement 1.0000 on normal data at all shapes, 0.9999 on duplicate-heavy
 data with residual disagreements at relative score gaps ~1e-8, i.e.
 genuine f32-vs-f64 rounding ties, identical to the XLA-f32 path's own
 behavior; and the two paths are bit-exact against each other on-chip).
-bf16 inputs (the bf16 training step) run ONE bf16 pass, which is
-bit-identical to HIGHEST for bf16-valued operands and 6x cheaper — at
-d<=27 the K dimension fits one MXU pass either way, so HIGHEST's only
-effect was the pass multiplier.
+bf16 inputs (the bf16 training step) contract the raw bf16 operands in
+ONE MXU pass — bit-identical to HIGHEST for bf16-valued operands (the
+split passes only add exact zeros; measured def==hi 1.0000 on-chip) and
+the same speed in steady state (~0.10 vs ~0.13 ms/call at the d=9 Gram
+shape; at these tiny d the selection is reduction-, not matmul-, bound).
 
 The selection is gradient-free by construction (argmin has no gradient and
 the bank derives from ground truth, so the reference's gather backward is
@@ -73,7 +74,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 def _buddy_kernel(
     p1_ref, p2_ref, bank_ref, out_ref, score_ref, arg_ref,
-    *, alpha, beta, dist_norm, m_total, m_tile, precision,
+    *, alpha, beta, dist_norm, m_total, m_tile, precision, raw_dot,
 ):
     j = pl.program_id(2)
     p1 = p1_ref[0].astype(jnp.float32)  # (Nt, d)
@@ -89,16 +90,23 @@ def _buddy_kernel(
 
     if dist_norm == "l2":
         bank_norm = jnp.sum(bank * bank, axis=1)[None, :]  # (1, Mt)
+        # bf16 inputs: contract the RAW bf16 operands — Mosaic's native
+        # single-pass MXU path with an f32 accumulator, exact for bf16
+        # values (bit-identical selection to HIGHEST-on-f32-casts,
+        # asserted in-suite and on-chip).
+        bank_t = bank_ref[0].T if raw_dot else bank.T
 
-        def l2(p):
-            p_norm = jnp.sum(p * p, axis=1)[:, None]  # (Nt, 1)
+        def l2(p_f32, p_ref):
+            p_norm = jnp.sum(p_f32 * p_f32, axis=1)[:, None]  # (Nt, 1)
             cross = jax.lax.dot_general(
-                p, bank.T, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32, precision=precision,
+                p_ref[0] if raw_dot else p_f32, bank_t,
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=None if raw_dot else precision,
             )
             return jnp.clip(p_norm + bank_norm - 2.0 * cross, 0.0, None)
 
-        score = alpha * l2(p1) + beta * l2(p2)
+        score = alpha * l2(p1, p1_ref) + beta * l2(p2, p2_ref)
     elif dist_norm == "l1":
         # L1 has no matmul form; accumulate per-feature |p - bank| planes so
         # VMEM holds (Nt, Mt) running sums, never an (Nt, Mt, d) cube
@@ -171,20 +179,25 @@ def buddy_select(
       * f32 inputs -> HIGHEST: full f32 MXU passes, matches the
         CPU/f32-reference selection on near-tie rows (at the backend
         default ~0.6% of rows flip, ONCHIP_r04_buddy.log);
-      * bf16 inputs (the bf16 training step) -> DEFAULT, which is
-        BIT-IDENTICAL to HIGHEST here: bf16 x bf16 products are exact in
-        the MXU's f32 accumulator in a single pass, and HIGHEST's extra
-        split passes only add exact zeros (the f32 casts of bf16 values
-        have all-zero low parts) — so the 6x pass multiplier bought
-        nothing. Measured: the d=9 Gram selection dropped ~385 us ->
-        ~65 us/step inside the gram-vgg recipe (round-4 profile).
+      * bf16 inputs (the bf16 training step) -> DEFAULT, implemented as
+        a contraction of the RAW bf16 operands: a single MXU pass with
+        an f32 accumulator, BIT-IDENTICAL to HIGHEST-on-f32-casts (bf16
+        products are exact in f32; HIGHEST's extra split passes only add
+        exact zeros — asserted in-suite and measured on-chip, def==hi
+        1.0000 at d=9/27). Perf note: at these tiny d the selection is
+        reduction-bound, so the pass count barely moves steady-state
+        time (~0.10 raw vs ~0.13 ms HIGHEST at d=9); earlier readings of
+        15-25x differences between these variants were the axon tunnel's
+        background-compile warmup bleed, not kernel cost (PERF.md
+        "bench methodology").
     """
+    all_bf16 = all(t.dtype == jnp.bfloat16 for t in (p1, p2, bank))
     if precision is None:
-        exact_bf16 = all(
-            t.dtype == jnp.bfloat16 for t in (p1, p2, bank)
-        )
-        precision = (jax.lax.Precision.DEFAULT if exact_bf16
+        precision = (jax.lax.Precision.DEFAULT if all_bf16
                      else jax.lax.Precision.HIGHEST)
+    # DEFAULT + bf16 inputs -> contract the raw bf16 refs in-kernel (the
+    # single-pass MXU path); DEFAULT never reaches f32 operands.
+    raw_dot = all_bf16 and precision == jax.lax.Precision.DEFAULT
     p1 = jax.lax.stop_gradient(p1)
     p2 = jax.lax.stop_gradient(p2)
     bank = jax.lax.stop_gradient(bank)
@@ -206,7 +219,7 @@ def buddy_select(
 
     kernel = functools.partial(
         _buddy_kernel, alpha=alpha, beta=beta, dist_norm=dist_norm,
-        m_total=m, m_tile=mt, precision=precision,
+        m_total=m, m_tile=mt, precision=precision, raw_dot=raw_dot,
     )
     idx = pl.pallas_call(
         kernel,

@@ -29,6 +29,12 @@ does the same packing:
   * none of the Pallas path's per-step integration overhead (residual
     stacking, flip-packs, wgrad unpacking measured ~0.2 ms/step).
 
+MEASURED (v5e, 2026-08-19, ONCHIP_r04_trunk.log -> BENCH_SUITE.md):
+headline GAN step 5,806 patches/s/chip vs 5,191 unfused — the first trunk
+rewrite to beat XLA's fine-layout implicit-GEMM path on-chip (the Pallas
+packed/fused/hybrid variants all measured slower). Default for bf16
+training steps (models/generator.py _trunk_mode).
+
 Numerics: identical math to the unfused flax path at f32; at bf16 it
 matches to accumulation-order rounding (same contract as the Pallas
 trunks; gates in tests/test_kernels.py::TestXpackTrunk).

@@ -111,12 +111,15 @@ class Generator(nn.Module):
     # plain XLA coarse conv. "pallas"/1 force a path.
     conv3_inner: int | str | None = None
     # trunk execution: None=auto (see _trunk_mode), or force one of
-    # "unfused" (flax blocks), "fused" (whole-trunk Pallas fwd,
+    # "unfused" (flax blocks), "xpack" (W-parity lane packing as pure
+    # XLA convs, kernels/xpack_trunk.py — the measured on-chip winner
+    # and the bf16-train auto default), "fused" (whole-trunk Pallas fwd,
     # kernels/fused_trunk.py), "packed" (lane-packed Pallas fwd+bwd,
     # kernels/packed_trunk.py), "hybrid" (XLA fwd + packed Pallas bwd —
-    # each direction's measured winner), or a "*_interpret" variant. The
-    # parameter/batch-stat TREE is identical in every mode (the kernel
-    # paths read the per-RCB subtrees and stack them).
+    # each direction's microbench winner, loses end-to-end), or a
+    # "*_interpret" variant. The parameter/batch-stat TREE is identical
+    # in every mode (the kernel paths read the per-RCB subtrees and
+    # stack them). Eval always runs unfused.
     trunk_mode: str | None = None
 
     @classmethod
@@ -164,15 +167,24 @@ class Generator(nn.Module):
     def _trunk_mode(self, train: bool, x=None) -> str:
         """Resolve the trunk execution path (see `trunk_mode`).
 
-        Auto currently resolves to UNFUSED pending the on-chip A/B of the
-        lane-packed pair (kernels/packed_trunk.py; prototype conv timings
-        6.7 us vs XLA's ~11-13). The first fused attempt
-        (kernels/fused_trunk.py) is measured SLOWER than XLA's unrolled
-        trunk on v5e (983 vs 353 us/step forward — Mosaic lowers the
-        batched (B, H, W, C) x (C, C) dots as per-row matmuls); both stay
-        opt-in via trunk_mode="fused"/"packed"."""
+        Auto resolves to XPACK (kernels/xpack_trunk.py — the W-parity
+        lane packing as pure-XLA convs) for bf16 training steps: measured
+        ON-CHIP WINNER at the headline config, 5,806 vs 5,191 patches/s/
+        chip vs the unfused path (2026-08-19, ONCHIP_r4a/BENCH_SUITE.md).
+        f32 steps stay UNFUSED — the strict-parity configuration every
+        trajectory golden was pinned on; xpack's conv accumulation order
+        differs (within fp tolerance, but unfused is the
+        closest-to-reference path and f32 is not the perf target).
+
+        The Pallas alternatives remain opt-in, all measured slower:
+        "packed" (5,043 — the per-step weight-pack/wgrad-unpack ops eat
+        the kernel's win), "hybrid" (3,974 — fine->packed residual
+        relayouts), "fused" (983 vs 353 us/step forward — Mosaic lowers
+        the batched dots as per-row matmuls)."""
         if self.trunk_mode is not None:
             return self.trunk_mode
+        if self.dtype == jnp.bfloat16:
+            return "xpack"
         return "unfused"
 
     def _trunk(self, x, train: bool):

@@ -75,12 +75,23 @@ def gap_stats(ind, ref_ind, scores64):
 
 
 def chain(fn, p1, p2, bank, n):
+    # Timing discipline (PERF.md "bench methodology", learned in r4):
+    #  * the chain threads REAL values (scaled add — a 0.0*x link gets
+    #    folded and the chain DCE'd/deduped);
+    #  * warmup counts DISPATCHES and ENDS WITH A VALUE FETCH — on the
+    #    axon tunnel `block_until_ready` is a no-op until a fetch has
+    #    finalized the executable's background compile (a 1-call warmup
+    #    once read this kernel as "50 ms/call"; steady state is ~0.1 ms).
+    #    After that fetch, block_until_ready is reliable and cheaper than
+    #    a fetch (no device->host payload), so the timed region uses it.
     sel = fn(p1, p2, bank)
-    jax.block_until_ready(sel)
+    for _ in range(15):
+        p1 = p1 + (0.1 * sel).astype(p1.dtype)
+        sel = fn(p1, p2, bank)
+    float(jnp.sum(sel.astype(jnp.float32)))  # fetch barrier: finalize
     t0 = time.perf_counter()
     for _ in range(n):
-        # thread the selection back into p1 so the chain is data-dependent
-        p1 = p1 + 0.0 * sel
+        p1 = p1 + (0.1 * sel).astype(p1.dtype)
         sel = fn(p1, p2, bank)
     jax.block_until_ready(sel)
     return (time.perf_counter() - t0) / n * 1e3  # ms
@@ -160,11 +171,51 @@ def main(argv=None):
         print(f"gt={gt:3d} timing  | " + "  ".join(
             f"{k} {v:8.2f} ms" for k, v in times.items()))
 
+    # bf16 input dtype (the bf16 training step): the dtype-resolved
+    # precision default (kernels/buddy_select.py) must select
+    # BIT-identically to HIGHEST — bf16 x bf16 products are exact in the
+    # f32 accumulator; HIGHEST's split passes add exact zeros — while
+    # running one MXU pass instead of six. d=9 is the Gram selection
+    # (the round-4 profile measured ~385 us/step of pass-multiplier waste
+    # there), d=27 the BestBuddy/PatchwiseST one.
+    worst_bf16 = 1.0
+    for d in (9, 27):
+        gt = 96
+        n = (gt // 3) ** 2
+        m = n + (gt // 6) ** 2 + (gt // 12) ** 2
+        mk = lambda: jnp.asarray(  # noqa: E731
+            rng.standard_normal((B, n, d)).astype(np.float32)
+        ).astype(jnp.bfloat16)
+        p1, p2 = mk(), mk()
+        bank = jnp.asarray(
+            rng.standard_normal((B, m, d)).astype(np.float32)
+        ).astype(jnp.bfloat16)
+        f_def = jax.jit(lambda a, b, c: buddy_select(
+            a, b, c, return_index=True, precision=None)[1])
+        f_hi = jax.jit(lambda a, b, c: buddy_select(
+            a, b, c, return_index=True,
+            precision=jax.lax.Precision.HIGHEST)[1])
+        i_def = np.asarray(f_def(p1, p2, bank))
+        i_hi = np.asarray(f_hi(p1, p2, bank))
+        ident = float((i_def == i_hi).mean())
+        worst_bf16 = min(worst_bf16, ident)
+        line = f"bf16 d={d:2d} N={n:5d} M={m:5d} | def==hi {ident:.4f}"
+        if not args.quick:
+            sel_def = jax.jit(lambda a, b, c: buddy_select(
+                a, b, c, precision=None))
+            sel_hi = jax.jit(lambda a, b, c: buddy_select(
+                a, b, c, precision=jax.lax.Precision.HIGHEST))
+            t_def = chain(sel_def, p1, p2, bank, ITERS)
+            t_hi = chain(sel_hi, p1, p2, bank, ITERS)
+            line += f" | def {t_def:8.2f} ms  hi {t_hi:8.2f} ms"
+        print(line)
+
     if args.check:
-        ok = worst_hi >= 0.999 and worst_cross >= 0.999
+        ok = (worst_hi >= 0.999 and worst_cross >= 0.999
+              and worst_bf16 == 1.0)
         print(f"CHECK {'PASS' if ok else 'FAIL'}: worst plc-hi agreement "
               f"{worst_hi:.4f}, worst plc-hi==xla-hi {worst_cross:.4f} "
-              f"(gates 0.999)")
+              f"(gates 0.999), bf16 def==hi {worst_bf16:.4f} (gate 1.0)")
         sys.exit(0 if ok else 1)
 
 

@@ -7,7 +7,14 @@ xplane via jax.profiler.ProfileData — no tensorboard/xprof needed.
 Usage:
     python tools/profile_step.py [config] [top_n] [with_d]
       config: headline | flagship-st | flagship-st-xla | gram-vgg
+              | infer-4k (eval-mode serving forward, 960x540->4K batch-1)
       with_d: "1" to include the (1/100-amortized) D update in the chunk
+
+Timing discipline (PERF.md "bench methodology"): warmup counts
+DISPATCHES (>= 12, past the axon tunnel's background second-stage
+compile) and ends with a device->host VALUE FETCH — `block_until_ready`
+is a no-op until a fetch has finalized a fresh executable, so a 1-call
+warmup would put the trace inside the up-to-100x-slow bleed window.
 """
 
 from __future__ import annotations
@@ -21,11 +28,64 @@ from collections import defaultdict
 import numpy as np
 
 
+def fetch_barrier(tree) -> float:
+    """True completion barrier: see bench.py::fetch_barrier."""
+    import jax
+    import jax.numpy as jnp
+
+    leaf = jax.tree_util.tree_leaves(tree)[0]
+    return float(jnp.sum(leaf.astype(jnp.float32)))
+
+
+def run_and_trace_infer(k: int = 8):
+    """Trace the eval-mode serving forward at the infer-4k bench shape
+    (960x540 LR -> 3840x2160 HR, batch-1, bf16) with bench.py's exact
+    pool-feedback chain so the traced dispatches match the benched ones."""
+    import jax
+    import jax.numpy as jnp
+
+    sys.path.insert(0, ".")
+    from srgan_st_tpu.core.config import Config
+    from srgan_st_tpu.models.generator import Generator
+
+    config = Config()
+    config.TPU.COMPUTE_DTYPE = "bfloat16"
+    s = config.DATA.UPSCALE_FACTOR
+    h, w = 2160 // s, 3840 // s
+    g_model = Generator.from_config(config)
+    rng = np.random.default_rng(0)
+    lr = jnp.asarray(rng.random((1, h, w, 3), np.float32))
+    noise = jnp.asarray(rng.random((8, 1, h, w, 3), np.float32))
+    variables = g_model.init(jax.random.key(0), lr[:, :24, :24], train=False)
+    variables = jax.device_put(variables)
+
+    @jax.jit
+    def step(v, x, z, i):
+        sr = g_model.apply(v, x, train=False)
+        b, hh, ww, c = sr.shape
+        pooled = sr.reshape(b, hh // s, s, ww // s, s, c).mean((2, 4))
+        return (0.5 * pooled + 0.5 * z + 1e-7 * i).astype(x.dtype)
+
+    n = 0
+    for _ in range(14):
+        lr = step(variables, lr, noise[n % 8], jnp.float32(n))
+        n += 1
+    fetch_barrier(lr)
+
+    tmpdir = tempfile.mkdtemp(prefix="xprof_")
+    with jax.profiler.trace(tmpdir):
+        for _ in range(k):
+            lr = step(variables, lr, noise[n % 8], jnp.float32(n))
+            n += 1
+        fetch_barrier(lr)
+    return tmpdir, k
+
+
 def run_and_trace(name: str, k: int = 8, with_d: bool = False):
     import jax
 
     sys.path.insert(0, ".")
-    from bench import _make_config
+    from bench import _make_config, fetch_barrier as bench_fetch  # noqa: F401
 
     from srgan_st_tpu.losses.registry import build_criterions
     from srgan_st_tpu.models.discriminator import Discriminator
@@ -63,13 +123,18 @@ def run_and_trace(name: str, k: int = 8, with_d: bool = False):
         np.random.default_rng(0).integers(0, 256, (k, 16, 96, 96, 3), np.uint8),
         mesh,
     )
-    state, _ = chunk_fn(state, chunk, with_d)  # compile + warm
-    jax.block_until_ready(state)
+    # warmup: two chunk dispatches (k in-graph steps each, past the
+    # background-compile bleed) ending in a VALUE FETCH (finalizes the
+    # executable; block_until_ready is a no-op before that — PERF.md §3c)
+    metrics = None
+    for _ in range(2):
+        state, metrics = chunk_fn(state, chunk, with_d)
+    fetch_barrier(metrics)
 
     tmpdir = tempfile.mkdtemp(prefix="xprof_")
     with jax.profiler.trace(tmpdir):
-        state, _ = chunk_fn(state, chunk, with_d)
-        jax.block_until_ready(state)
+        state, metrics = chunk_fn(state, chunk, with_d)
+        fetch_barrier(metrics)
     return tmpdir, k
 
 
@@ -112,7 +177,10 @@ def main():
     name = sys.argv[1] if len(sys.argv) > 1 else "headline"
     top_n = int(sys.argv[2]) if len(sys.argv) > 2 else 30
     with_d = len(sys.argv) > 3 and sys.argv[3] == "1"
-    tmpdir, k = run_and_trace(name, with_d=with_d)
+    if name == "infer-4k":
+        tmpdir, k = run_and_trace_infer()
+    else:
+        tmpdir, k = run_and_trace(name, with_d=with_d)
     per_op, per_cat, total, module_ms = aggregate(tmpdir)
     print(f"trace dir: {tmpdir}")
     print(f"config={name} with_d={with_d}  module wall: {module_ms:.3f} ms "
