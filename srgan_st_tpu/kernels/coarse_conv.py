@@ -39,6 +39,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 
 def _kernel(xp_ref, w_ref, out_ref, *, hc, wc, c2, n3):
@@ -82,11 +83,96 @@ def _w3_blocks(w2: jnp.ndarray) -> jnp.ndarray:
     return w3.reshape(3, 2, 3, 2 * c, n3)
 
 
+def _kernel_tiled(xp_ref, w_ref, out_ref, scratch, sems, *,
+                  th, wc, wp8, c2, n3, nh):
+    """H-tiled variant: the padded input stays in HBM (`pl.ANY`); each
+    grid step DMAs its (th+2)-coarse-row halo window into a VMEM slot,
+    double-buffered so tile j+1's copy overlaps tile j's 18 MXU dots.
+    Needed because the one-block kernel holds the whole padded image in
+    VMEM — unallocatable at serving sizes (1080p coarse input is ~1 GB).
+
+    xp_ref is the (b, hc+2, 2, wp8, c2) fine-row-parity VIEW of the
+    padded input (same bytes, reshaped by the caller) so the window DMA
+    and the per-slab loads are plain slices; slabs are loaded straight
+    from the scratch ref per dot (loading a whole window as a value
+    spilled ~100 MB of vregs), and the compute body is duplicated under
+    `pl.when` per buffer slot so no value load indexes a ref dynamically."""
+    i = pl.program_id(0)  # batch element
+    j = pl.program_id(1)  # H tile
+
+    def window_copy(jj, slot):
+        return pltpu.make_async_copy(
+            xp_ref.at[i, pl.ds(th * jj, th + 2)],
+            scratch.at[slot],
+            sems.at[slot],
+        )
+
+    @pl.when(j == 0)
+    def _():
+        window_copy(0, 0).start()
+
+    @pl.when(j + 1 < nh)
+    def _():
+        window_copy(j + 1, (j + 1) % 2).start()
+
+    window_copy(j, j % 2).wait()
+
+    def compute(slot):
+        acc = jnp.zeros((th * wc, n3), jnp.float32)
+        for qy in range(3):
+            for ry in range(2):
+                for qx in range(3):
+                    slab = scratch[slot, qy:qy + th, ry, qx:qx + wc, :]
+                    acc += jnp.dot(
+                        slab.reshape(th * wc, c2), w_ref[qy, ry, qx],
+                        preferred_element_type=jnp.float32,
+                    )
+        out_ref[0] = acc.reshape(th, wc, n3)
+
+    @pl.when(j % 2 == 0)
+    def _():
+        compute(0)
+
+    @pl.when(j % 2 == 1)
+    def _():
+        compute(1)
+
+
+# one-block VMEM budget: the calibrated training-scale envelope (round 2)
+ONE_BLOCK_BYTES = 6 * 2**20
+# H-tiled per-core VMEM budget: 2 window slots + f32 out block + weights,
+# kept well under the ~128 MB physical VMEM (Mosaic scoped default is
+# 16 MB — the tiled call raises it via CompilerParams)
+TILED_BUDGET_BYTES = 80 * 2**20
+
+
+def _pick_tile(hc: int, wc: int, c2: int, n3: int) -> int | None:
+    """Largest divisor th of hc whose double-buffered working set —
+    2 window slots + a few live slab loads + the f32 acc/out block —
+    fits TILED_BUDGET_BYTES (None if even th=1 doesn't fit)."""
+    for th in sorted((d for d in range(1, min(hc, 64) + 1) if hc % d == 0),
+                     reverse=True):
+        window = (th + 2) * 2 * (-(-(wc + 2) // 8) * 8) * c2 * 2  # bf16
+        slab = th * wc * c2 * 2
+        out_blk = th * wc * n3 * 4
+        weights = 18 * c2 * n3 * 2
+        if 2 * window + 4 * slab + 2 * out_blk + weights \
+                <= TILED_BUDGET_BYTES:
+            return th
+    return None
+
+
 def coarse_conv_s2d(x: jnp.ndarray, w2: jnp.ndarray,
                     interpret: bool = False) -> jnp.ndarray:
     """s2d(2)-factored SAME conv of the (kc=3-after-factoring) coarse
     kernel: x (B, H, W, C) bf16, w2 (5, 5, C, N2) -> (B, H/2, W/2, 4*N2)
-    in `_coarse_kernel` channel order (n2, ry, rx)."""
+    in `_coarse_kernel` channel order (n2, ry, rx).
+
+    Dispatch: training-scale inputs (padded block <= ONE_BLOCK_BYTES) run
+    the original whole-image-in-VMEM kernel; larger inputs (whole-image
+    serving, ONCHIP_r04 infer profile: the XLA fallback ran conv3 at
+    12/128 lanes for 17.8 of the 67.8 ms frame) run the H-tiled
+    double-buffered DMA kernel."""
     b, h, w, c = x.shape
     hc, wc = h // 2, w // 2
     c2, n3 = 2 * c, 4 * w2.shape[-1]
@@ -96,16 +182,57 @@ def coarse_conv_s2d(x: jnp.ndarray, w2: jnp.ndarray,
     xp = jnp.pad(xw, ((0, 0), (2, 2), (1, 1), (0, 0)))
     wb = _w3_blocks(w2).astype(x.dtype)
 
-    kernel = functools.partial(_kernel, hc=hc, wc=wc, c2=c2, n3=n3)
-    out = pl.pallas_call(
+    if (h + 4) * (wc + 2) * c2 * 2 <= ONE_BLOCK_BYTES:
+        kernel = functools.partial(_kernel, hc=hc, wc=wc, c2=c2, n3=n3)
+        return pl.pallas_call(
+            kernel,
+            grid=(b,),
+            in_specs=[
+                pl.BlockSpec((1, h + 4, wc + 2, c2), lambda i: (i, 0, 0, 0)),
+                pl.BlockSpec((3, 2, 3, c2, n3), lambda i: (0, 0, 0, 0, 0)),
+            ],
+            out_specs=pl.BlockSpec((1, hc, wc, n3), lambda i: (i, 0, 0, 0)),
+            out_shape=jax.ShapeDtypeStruct((b, hc, wc, n3), jnp.float32),
+            interpret=interpret,
+        )(xp, wb)
+
+    th = _pick_tile(hc, wc, c2, n3)
+    if th is None:  # pathological aspect ratio: one row still too wide
+        raise ValueError(
+            f"coarse_conv_s2d: no H tile of hc={hc} fits VMEM at wc={wc}, "
+            f"c2={c2} — use the XLA fallback (inner_factor=1)"
+        )
+    nh = hc // th
+    # Mosaic requires HBM DMA slice extents on the sublane dim aligned to
+    # the (8, 128) tiling: pad the packed width to 8k and copy full rows
+    # (the zero pad cols are never read by the qx slices); expose the
+    # (coarse row, fine parity) split as an explicit dim so the window
+    # DMA is a plain slice of the major dim
+    wp8 = -(-(wc + 2) // 8) * 8
+    xp = jnp.pad(xp, ((0, 0), (0, 0), (0, wp8 - (wc + 2)), (0, 0)))
+    xp5 = xp.reshape(b, hc + 2, 2, wp8, c2)
+    kernel = functools.partial(
+        _kernel_tiled, th=th, wc=wc, wp8=wp8, c2=c2, n3=n3, nh=nh
+    )
+    window = (th + 2) * 2 * wp8 * c2 * 2
+    out_blk = th * wc * n3 * 4
+    return pl.pallas_call(
         kernel,
-        grid=(b,),
+        grid=(b, nh),
         in_specs=[
-            pl.BlockSpec((1, h + 4, wc + 2, c2), lambda i: (i, 0, 0, 0)),
-            pl.BlockSpec((3, 2, 3, c2, n3), lambda i: (0, 0, 0, 0, 0)),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(
+                (3, 2, 3, c2, n3), lambda i, j: (0, 0, 0, 0, 0)
+            ),
         ],
-        out_specs=pl.BlockSpec((1, hc, wc, n3), lambda i: (i, 0, 0, 0)),
+        out_specs=pl.BlockSpec((1, th, wc, n3), lambda i, j: (i, j, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((b, hc, wc, n3), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((2, th + 2, 2, wp8, c2), x.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=112 * 2**20,
+        ),
         interpret=interpret,
-    )(xp, wb)
-    return out
+    )(xp5, wb)

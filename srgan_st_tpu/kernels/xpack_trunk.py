@@ -164,3 +164,57 @@ def xpack_trunk(x, w1s, w2s, g1s, b1s, g2s, b2s, als, eps=1e-5,
         xq = xq + bn2
         stats.append(jnp.stack([m1, v1, m2, v2]))
     return unpack_image_x(xq, w_fine), jnp.stack(stats)
+
+
+def xpack_trunk_eval(x, w1s, w2s, g1s, b1s, g2s, b2s, als,
+                     m1s, v1s, m2s, v2s, eps=1e-5):
+    """Eval-mode (running-average BN) W-parity lane-packed trunk.
+
+    With fixed running stats, BatchNorm is affine per output channel:
+
+        bn(conv(x)) = conv(x) * s + (beta - mu * s),  s = gamma/sqrt(v+eps)
+
+    so the scale folds into the conv kernel at trace time (w' = w * s on
+    the output-channel axis) and the shift becomes a conv bias — each RCB
+    is then conv+bias(+PReLU) -> conv+bias -> residual add, every conv a
+    full-128-lane packed (3, 2, 2C, 2C) MXU call. Built for the serving
+    path: the ONCHIP_r04 infer profile shows the unfused eval trunk's
+    C=64 convs running at ~29% MXU utilization (about 21 of the 68
+    ms/frame at 4K). Same packing/masks as `xpack_trunk`; numerics match
+    the unfused flax eval trunk to fold/accumulation-order rounding
+    (f32-level gate in tests/test_kernels.py::TestXpackTrunkEval).
+
+    Args: x (B, H, W, C) with even W; stacked per-block params
+    (N, 3, 3, C, C) kernels, (N, C) BN scale/bias + PReLU alphas, and
+    (N, C) running means/vars for both BNs. Returns the fine (B, H, W, C)
+    trunk output.
+
+    Reference semantics: model.py:169-184 in eval() mode (running-stat
+    BatchNorm), model.py:106-109.
+    """
+    n = w1s.shape[0]
+    b, h, w_fine, c = x.shape
+    if w_fine % 2:
+        raise ValueError(f"xpack_trunk_eval needs an even width, got {w_fine}")
+    cdt = x.dtype
+    wp = _xpack_wp(w_fine)
+    mska, mskb = _masks(w_fine, wp, c, cdt)
+
+    def fold(ws, gs, bs, ms, vs):
+        s = gs.astype(jnp.float32) * lax.rsqrt(vs.astype(jnp.float32) + eps)
+        wf = ws.astype(jnp.float32) * s[:, None, None, None, :]
+        bf = bs.astype(jnp.float32) - ms.astype(jnp.float32) * s
+        # packed bias: both W-parity slots carry the same per-channel shift
+        return (jax.vmap(pack_conv_blocks)(wf.astype(cdt)),
+                jnp.concatenate([bf, bf], axis=1).astype(cdt))
+
+    wq1, bq1 = fold(w1s, g1s, b1s, m1s, v1s)
+    wq2, bq2 = fold(w2s, g2s, b2s, m2s, v2s)
+
+    xq = pack_image_x(x.astype(cdt), wp)
+    for i in range(n):
+        hval = (_conv_packed_xla(xq, wq1[i], "A") + bq1[i]) * mska
+        alpha = als[i].astype(cdt)
+        hval = jnp.where(hval.astype(jnp.float32) >= 0, hval, alpha * hval)
+        xq = xq + (_conv_packed_xla(hval, wq2[i], "B") + bq2[i]) * mskb
+    return unpack_image_x(xq, w_fine)

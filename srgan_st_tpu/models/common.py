@@ -142,6 +142,12 @@ class TapConv(nn.Module):
     # conv2d_subpixel_pre_shuffled); 1 = off, "pallas" = VMEM-relayout
     # kernel (kernels/coarse_conv.py, TPU only)
     inner_factor: int | str = 1
+    # s2d factor of the default (non-pre-shuffled) mode. 2 suits the
+    # 64->3 reconstruction conv at training shapes; 4 suits the 3->64
+    # STEM conv at batch-1 serving shapes, where the 3-channel input
+    # lanes starve the MXU (ONCHIP_r04 infer profile: 2.7 ms/frame).
+    # Falls back to the direct conv when H or W isn't divisible.
+    subpixel_factor: int = 2
 
     @nn.compact
     def __call__(self, x):
@@ -164,7 +170,7 @@ class TapConv(nn.Module):
             return conv2d_subpixel_pre_shuffled(
                 x, kernel, bias, factor=f, inner_factor=self.inner_factor
             )
-        factor = 1 if self.mode == "xla" else 2
+        factor = 1 if self.mode == "xla" else self.subpixel_factor
         return conv2d_subpixel(x, kernel, bias, factor=factor)
 
 

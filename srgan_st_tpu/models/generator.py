@@ -119,8 +119,16 @@ class Generator(nn.Module):
     # each direction's microbench winner, loses end-to-end), or a
     # "*_interpret" variant. The parameter/batch-stat TREE is identical
     # in every mode (the kernel paths read the per-RCB subtrees and
-    # stack them). Eval always runs unfused.
+    # stack them). Eval auto runs unfused (measured serving winner);
+    # an explicit "xpack" opts eval into the BN-folded xpack_trunk_eval.
     trunk_mode: str | None = None
+    # conv1 stem formulation: None = direct conv (bit-exact reference
+    # path, right for training where the batch fills the MXU), "s2d" =
+    # space-to-depth(4)-factored conv (ops/subpixel_conv.py) for batch-1
+    # serving, where the 3-channel input starves the implicit GEMM
+    # (ONCHIP_r04 infer profile: 2.7 of 68 ms/frame). Param tree is
+    # nn.Conv-compatible either way (TapConv).
+    stem_mode: str | None = None
 
     @classmethod
     def from_config(cls, config, dtype=None, axis_name=None):
@@ -191,10 +199,25 @@ class Generator(nn.Module):
         """The 16-RCB trunk: fused Pallas kernel or per-block flax modules,
         with an IDENTICAL variable tree (the fused path reads/writes the
         per-RCB subtrees directly via the module scope)."""
-        # eval always runs unfused: the kernel has no running-average mode
-        mode = self._trunk_mode(train, x) if train else "unfused"
-        if mode == "xpack" and x.shape[2] % 2:
+        mode = self._trunk_mode(train, x)
+        if not train:
+            # eval: auto runs UNFUSED — measured serving winner (xpack_eval
+            # lost its on-chip A/B at the 4K shape, 76.3 vs 70.1 ms/frame:
+            # at batch-1 whole-image sizes the pack relayout + masks cost
+            # more than the lane gain, ONCHIP_r04_serving.log). An EXPLICIT
+            # trunk_mode="xpack" opts eval into xpack_trunk_eval (BN folded
+            # into the packed conv weights); the Pallas trunks compute
+            # batch stats in-VMEM and have no eval mode at all.
+            explicit_xpack = self.trunk_mode is not None and (
+                self.trunk_mode.startswith("xpack"))
+            mode = "xpack_eval" if explicit_xpack else "unfused"
+        from srgan_st_tpu.ops.subpixel_conv import _concrete_pred
+
+        if (mode.startswith("xpack")
+                and not _concrete_pred(lambda: x.shape[2] % 2 == 0)):
             mode = "unfused"  # the W-parity pack needs an even fine width
+            # (symbolic widths — jax.export shape polymorphism — fall back
+            # to the shape-agnostic unfused trunk)
         if (mode != "unfused" and not mode.startswith("xpack")
                 and self.axis_name is not None and not self.local_bn):
             # both Pallas trunks compute BN stats in-VMEM (per shard);
@@ -233,6 +256,18 @@ class Generator(nn.Module):
             for i in range(self.num_rcb)
         ]
         operands = stack_rcb_params(rcb_params)
+        if mode == "xpack_eval":
+            from srgan_st_tpu.kernels.xpack_trunk import xpack_trunk_eval
+
+            rcb_stats = [
+                self.scope.get_variable("batch_stats", f"rcb{i}")
+                for i in range(self.num_rcb)
+            ]
+            m1s = jnp.stack([s["bn1"]["mean"] for s in rcb_stats])
+            v1s = jnp.stack([s["bn1"]["var"] for s in rcb_stats])
+            m2s = jnp.stack([s["bn2"]["mean"] for s in rcb_stats])
+            v2s = jnp.stack([s["bn2"]["var"] for s in rcb_stats])
+            return xpack_trunk_eval(x, *operands, m1s, v1s, m2s, v2s, 1e-5)
         if mode.startswith("xpack"):
             from srgan_st_tpu.kernels.xpack_trunk import xpack_trunk
 
@@ -294,10 +329,17 @@ class Generator(nn.Module):
         x = x.astype(self.dtype)
 
         # Low-frequency information extraction layer (model.py:100-103)
-        x = nn.Conv(
-            self.channels, (9, 9), padding=4, kernel_init=kaiming_normal,
-            bias_init=nn.initializers.zeros, dtype=self.dtype, name="conv1",
-        )(x)
+        if self.stem_mode == "s2d":
+            x = TapConv(
+                self.channels, (9, 9), dtype=self.dtype,
+                subpixel_factor=4, name="conv1",
+            )(x)
+        else:
+            x = nn.Conv(
+                self.channels, (9, 9), padding=4, kernel_init=kaiming_normal,
+                bias_init=nn.initializers.zeros, dtype=self.dtype,
+                name="conv1",
+            )(x)
         conv1 = PReLU(name="prelu1")(x)
 
         # High-frequency trunk (model.py:106-109)

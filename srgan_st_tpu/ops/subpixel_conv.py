@@ -125,20 +125,16 @@ def conv2d_subpixel_pre_shuffled(
     (kernels/coarse_conv.py) that wins it back; it requires factor==2 and
     falls back to the plain path off-TPU."""
     if inner_factor == "pallas":
-        # kernels/coarse_conv.py holds one image's padded half-res
-        # activation in VMEM with no spatial tiling — bound its use to
-        # training-scale inputs (48x48x256 is ~1.4 MB; whole-image eval on
-        # real test sets would blow VMEM) and fall back to XLA elsewhere.
-        # Bound the padded block's actual BYTE count (not spatial area —
-        # a wider generator at the same spatial size scales VMEM with C):
-        # block shape is (H+4, W//2+2, 2C) bf16 (kernels/coarse_conv.py).
-        # Budget 6 MiB ~= the 96x96xC=256 point this gate was calibrated
-        # at (5.1 MiB), validated on-TPU in round 2.
-        fits_vmem = _concrete_pred(
-            lambda: (y.shape[1] + 4) * (y.shape[2] // 2 + 2) * 2
-            * y.shape[-1] * 2 <= 6 * 2**20
+        # kernels/coarse_conv.py: training-scale inputs run whole-image-
+        # in-VMEM; larger inputs (whole-image serving) self-dispatch to
+        # the H-tiled double-buffered DMA kernel, so the only gates left
+        # are even dims + a degenerate-aspect-ratio escape (one padded
+        # row must fit the tiled budget; see coarse_conv._pick_tile).
+        row_fits = _concrete_pred(
+            lambda: 2 * 6 * (y.shape[2] // 2 + 2) * 2 * y.shape[-1] * 2
+            + (y.shape[2] // 2) * 4 * w.shape[-1] * 4 * 4 <= 80 * 2**20
         )
-        if (factor == 2 and jax.default_backend() == "tpu" and fits_vmem
+        if (factor == 2 and jax.default_backend() == "tpu" and row_fits
                 and _concrete_pred(
                     lambda: y.shape[1] % 2 == 0 and y.shape[2] % 2 == 0)):
             return _pre_shuffled_f2_pallas(

@@ -431,7 +431,11 @@ def test_bf16_export_matches_live_bf16(tmp_path, rng):
     config.MODEL.G_N_RCB = 1
     config.MODEL.G_N_CHANNEL = 8
     config.TPU.COMPUTE_DTYPE = "bfloat16"
-    g = Generator.from_config(config).clone(conv3_inner=1)
+    # pin the live model to the artifact's shape-agnostic formulations:
+    # the symbolic-shape export falls back from the gated fast paths
+    # (Pallas conv3 inner, xpack_eval trunk), whose bf16 rounding differs
+    g = Generator.from_config(config).clone(
+        conv3_inner=1, trunk_mode="unfused")
     v = g.init(jax.random.key(0), jnp.zeros((1, 8, 8, 3)), train=False)
     blob, meta = export_generator(config, v, platforms=("cpu",))
     assert meta["compute_dtype"] == "bfloat16"

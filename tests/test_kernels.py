@@ -181,6 +181,40 @@ class TestCoarseConv:
             np.asarray(got), np.asarray(golden), atol=1e-4
         )
 
+    @pytest.mark.parametrize("shape", [(2, 8, 8, 8, 4), (1, 24, 16, 16, 3)])
+    def test_tiled_kernel_matches_one_block(self, rng, shape, monkeypatch):
+        """The H-tiled double-buffered DMA variant (serving sizes, where
+        the whole padded image can't live in VMEM) == the one-block
+        kernel, forced by shrinking the dispatch budget to zero."""
+        from srgan_st_tpu.kernels import coarse_conv as cc
+        from srgan_st_tpu.ops.subpixel_conv import depth_to_space
+        from jax import lax
+
+        b, h, w, c, n2 = shape
+        y = jnp.asarray(rng.random((b, h, w, c), dtype=np.float32))
+        w2 = jnp.asarray(rng.random((5, 5, c, n2), dtype=np.float32) - 0.5)
+        golden = lax.conv_general_dilated(
+            y, w2, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC")
+        )
+        monkeypatch.setattr(cc, "ONE_BLOCK_BYTES", 0)
+        # a small tile budget forces several H tiles (th < hc) so the
+        # double-buffer rotation and halo windows are actually exercised:
+        # set it to the working set of th = hc//2 (same formula as
+        # _pick_tile, which is monotone in th)
+        hc, wc, c2, n3 = h // 2, w // 2, 2 * c, 4 * n2
+        th0, wp8 = hc // 2, -(-(wc + 2) // 8) * 8
+        budget = (2 * (th0 + 2) * 2 * wp8 * c2 * 2
+                  + 4 * th0 * wc * c2 * 2 + 2 * th0 * wc * n3 * 4
+                  + 18 * c2 * n3 * 2)
+        monkeypatch.setattr(cc, "TILED_BUDGET_BYTES", budget)
+        z = cc.coarse_conv_s2d(y, w2, interpret=True)
+        th = cc._pick_tile(h // 2, w // 2, 2 * c, 4 * n2)
+        assert th is not None and th < h // 2, th
+        got = depth_to_space(z, 2)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(golden), atol=1e-4
+        )
+
 
 class TestFusedTrunk:
     """kernels/fused_trunk.py: the 16-RCB trunk as one Pallas kernel
@@ -621,6 +655,64 @@ class TestXpackTrunk:
                         jax.tree_util.tree_leaves(mut_x)):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        atol=1e-5, rtol=1e-5)
+
+
+class TestXpackTrunkEval:
+    """kernels/xpack_trunk.py::xpack_trunk_eval — the eval-mode
+    (running-average BN) packed trunk; BN folded into the conv weights."""
+
+    def test_eval_matches_unfused_flax(self, rng):
+        """Generator eval with trunk_mode='xpack' vs 'unfused' after a
+        couple of train steps (non-trivial running stats): same output to
+        fold/reassociation tolerance at f32."""
+        from srgan_st_tpu.models.generator import Generator
+
+        g_un = Generator(channels=32, num_rcb=3, upscale=4,
+                         trunk_mode="unfused")
+        g_x = Generator(channels=32, num_rcb=3, upscale=4,
+                        trunk_mode="xpack")
+        lr = jnp.asarray(rng.random((2, 8, 10, 3), np.float32))
+        v = g_un.init(jax.random.key(0), lr[:1], train=False)
+        # two train-mode applications to move the BN running stats off
+        # their (0, 1) init so the eval fold is exercised for real
+        for i in range(2):
+            x = jnp.asarray(rng.random((2, 8, 10, 3), np.float32))
+            _, upd = g_un.apply(v, x, train=True, mutable=["batch_stats"])
+            v = {"params": v["params"], "batch_stats": upd["batch_stats"]}
+        out_un = g_un.apply(v, lr, train=False)
+        out_x = g_x.apply(v, lr, train=False)
+        np.testing.assert_allclose(
+            np.asarray(out_x), np.asarray(out_un), atol=2e-5
+        )
+
+    def test_eval_odd_width_falls_back(self, rng):
+        """Odd trunk width: the generator silently runs the unfused eval
+        trunk (bit-identical to trunk_mode='unfused'); the raw op raises."""
+        from srgan_st_tpu.kernels.xpack_trunk import xpack_trunk_eval
+        from srgan_st_tpu.models.generator import Generator
+
+        n, c = 1, 32
+        f = lambda *s: jnp.asarray(  # noqa: E731
+            rng.standard_normal(s), jnp.float32
+        )
+        with pytest.raises(ValueError):
+            xpack_trunk_eval(
+                f(1, 4, 7, c), f(n, 3, 3, c, c), f(n, 3, 3, c, c),
+                f(n, c), f(n, c), f(n, c), f(n, c), f(n),
+                f(n, c), 1 + 0.1 * f(n, c) ** 2,
+                f(n, c), 1 + 0.1 * f(n, c) ** 2,
+            )
+
+        g_un = Generator(channels=32, num_rcb=2, upscale=4,
+                         trunk_mode="unfused")
+        g_x = Generator(channels=32, num_rcb=2, upscale=4,
+                        trunk_mode="xpack")
+        lr = jnp.asarray(rng.random((1, 7, 7, 3), np.float32))
+        v = g_un.init(jax.random.key(0), lr, train=False)
+        np.testing.assert_array_equal(
+            np.asarray(g_un.apply(v, lr, train=False)),
+            np.asarray(g_x.apply(v, lr, train=False)),
+        )
 
 
 class TestHybridTrunk:
