@@ -243,13 +243,15 @@ def buddy_select(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
             # actual padded working set: ~4 (Nt, Mt) f32/i32 planes (two l2
             # scores, the column iota, the tie-break where) + the (Nt, d)
-            # and (Mt, d) blocks at 128-lane padding, double-buffered. The
-            # default 16 MB scoped limit is ~200 KB short at the default
-            # (1024, 1536) tiles; v5e VMEM allows far more (packed_trunk
-            # runs at 110 MB).
+            # and (Mt, d) blocks at d rounded up to the 128-lane tile (d
+            # can exceed one tile: ksize>=7 gives d=3*ksize^2 > 128),
+            # double-buffered. The default 16 MB scoped limit is ~200 KB
+            # short at the default (1024, 1536) tiles; v5e VMEM allows far
+            # more (packed_trunk runs at 110 MB).
             vmem_limit_bytes=min(
                 110 * 1024 * 1024,
-                4 * nt * mt * 4 + 8 * (2 * nt + mt) * 128 * 4
+                4 * nt * mt * 4
+                + 8 * (2 * nt + mt) * (-(-d // 128) * 128) * 4
                 + 8 * 1024 * 1024,
             ),
         ),

@@ -162,6 +162,21 @@ def _pick_tile(hc: int, wc: int, c2: int, n3: int) -> int | None:
     return None
 
 
+def fits_budget(h: int, w: int, c: int, n2: int) -> bool:
+    """Trace-time feasibility of `coarse_conv_s2d` for a fine (_, h, w, c)
+    input and an (5, 5, c, n2) coarse kernel: the one-block kernel's
+    padded image fits ONE_BLOCK_BYTES, or `_pick_tile` finds a feasible
+    H tile. The single source of truth for dispatch gates — callers
+    (ops/subpixel_conv.py) must use this rather than approximating the
+    working-set formula, so the gate can never pass where the kernel
+    would raise."""
+    hc, wc = h // 2, w // 2
+    c2, n3 = 2 * c, 4 * n2
+    if (h + 4) * (wc + 2) * c2 * 2 <= ONE_BLOCK_BYTES:
+        return True
+    return _pick_tile(hc, wc, c2, n3) is not None
+
+
 def coarse_conv_s2d(x: jnp.ndarray, w2: jnp.ndarray,
                     interpret: bool = False) -> jnp.ndarray:
     """s2d(2)-factored SAME conv of the (kc=3-after-factoring) coarse

@@ -118,8 +118,6 @@ def xpack_trunk(x, w1s, w2s, g1s, b1s, g2s, b2s, als, eps=1e-5,
     cdt = x.dtype
     wp = _xpack_wp(w_fine)
     mska, mskb = _masks(w_fine, wp, c, cdt)
-    idx = np.arange(2 * c)
-    pp = jnp.asarray(idx[:, None] % c == idx[None, :] % c, jnp.float32)
     nelem = b * h * w_fine
     if axis_name is not None and not local_bn:
         nelem = nelem * lax.axis_size(axis_name)
@@ -137,8 +135,12 @@ def xpack_trunk(x, w1s, w2s, g1s, b1s, g2s, b2s, als, eps=1e-5,
         if axis_name is not None and not local_bn:
             s = lax.psum(s, axis_name)
             ssq = lax.psum(ssq, axis_name)
-        sp = s @ pp  # packed-replicated per-fine-channel sums
-        ssqp = ssq @ pp
+        # packed-replicated per-fine-channel sums. Written as an exact f32
+        # add + tile rather than the equivalent 0/1-matrix fold `s @ pp`:
+        # a matmul at TPU-default precision runs bf16 MXU passes and can
+        # round the stat sums (~2^-8 rel) on the default bf16 trunk.
+        sp = jnp.tile(s[:c] + s[c:], 2)
+        ssqp = jnp.tile(ssq[:c] + ssq[c:], 2)
         m = sp / nelem
         v = jnp.maximum(ssqp / nelem - m * m, 0.0)
         inv = lax.rsqrt(v + jnp.float32(eps)).astype(cdt)

@@ -129,10 +129,17 @@ def conv2d_subpixel_pre_shuffled(
         # in-VMEM; larger inputs (whole-image serving) self-dispatch to
         # the H-tiled double-buffered DMA kernel, so the only gates left
         # are even dims + a degenerate-aspect-ratio escape (one padded
-        # row must fit the tiled budget; see coarse_conv._pick_tile).
+        # row must fit the tiled budget). The gate IS the kernel's own
+        # dispatch feasibility check (coarse_conv.fits_budget) — an
+        # approximation here could pass where _pick_tile fails, turning
+        # the intended XLA fallback into a trace-time error.
+        from srgan_st_tpu.kernels.coarse_conv import fits_budget
+
+        # the kernel sees w2 = _coarse_kernel(w, 2): n2 = 4 * w's out dim
         row_fits = _concrete_pred(
-            lambda: 2 * 6 * (y.shape[2] // 2 + 2) * 2 * y.shape[-1] * 2
-            + (y.shape[2] // 2) * 4 * w.shape[-1] * 4 * 4 <= 80 * 2**20
+            lambda: fits_budget(
+                y.shape[1], y.shape[2], y.shape[3], 4 * w.shape[-1]
+            )
         )
         if (factor == 2 and jax.default_backend() == "tpu" and row_fits
                 and _concrete_pred(

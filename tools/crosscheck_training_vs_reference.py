@@ -453,7 +453,7 @@ def run_reference(args, warm_data: np.ndarray, gan_data: np.ndarray,
 def run_jax(args, warm_data: np.ndarray, gan_data: np.ndarray,
             g0: dict, d0: dict, g_warm: dict | None = None,
             cd0: dict | None = None, vgg0: dict | None = None,
-            require_cpu: bool = True):
+            require_cpu: bool = True, config_mutate=None):
     """Replays the same two-phase schedule through the framework's train
     steps from the torch init weights. Returns losses + final variables.
     Importable by tests (no /root/reference dependency).
@@ -462,7 +462,12 @@ def run_jax(args, warm_data: np.ndarray, gan_data: np.ndarray,
     backend is live — used by tools/onchip_trajectory_smoke.py to pin the
     REAL TPU backend's numerics (incl. its default loss kernels) against
     the same goldens, at a measured looser tolerance (TPU f32 matmuls are
-    bf16 MXU passes)."""
+    bf16 MXU passes).
+
+    `config_mutate(config)`, if given, runs after the recipe config is
+    built and before any model/step construction — the smoke tool's hook
+    for replaying the goldens under the SHIPPING bf16 configuration
+    (TPU.COMPUTE_DTYPE="bfloat16", trunk auto -> xpack)."""
     import jax
 
     # parity runs MUST be fp32-exact: force CPU (the axon TPU plugin wins
@@ -555,6 +560,8 @@ def run_jax(args, warm_data: np.ndarray, gan_data: np.ndarray,
             "ST": {"kind": "st"},
         }  # weights: defaults 0.001 / 1.0 / (1/3) — reference config.py:77-86
 
+    if config_mutate is not None:
+        config_mutate(config)
     g_model = Generator.from_config(config)
     d_model = Discriminator.from_config(config)
     num_rcb = config.MODEL.G_N_RCB

@@ -55,6 +55,19 @@ GATE_WARM5 = 2e-3     # first-5-step warmup G-loss max rel-err
 GATE_GAN5_G = 1.5e-2  # first-5-step GAN G-loss
 GATE_GAN5_D = 5e-2    # first-5-step GAN D-loss
 
+# --bf16 replays the same goldens under the SHIPPING bf16 recipe
+# (TPU.COMPUTE_DTYPE="bfloat16": xpack trunk auto-selected, Pallas buddy
+# select on raw-bf16 scores — the configuration every headline BENCH
+# number is measured on). bf16 activations round each step's losses
+# (~2^-8 relative per op, compounding across steps), so the gates are
+# necessarily looser than the f32 ones; the measured on-chip envelope
+# lives in ONCHIP_r05_trajectory_bf16.log (gates set with ~10x headroom
+# over it). They still catch semantic divergence (wrong trunk /
+# selection / optimizer behavior shows at ~0.5+ within 5 steps).
+GATE_BF16_WARM5 = 4e-2
+GATE_BF16_GAN5_G = 1.5e-1
+GATE_BF16_GAN5_D = 3e-1
+
 
 def max_rel(a, b):
     a, b = np.asarray(a, np.float64), np.asarray(b, np.float64)
@@ -69,6 +82,10 @@ def main(argv=None) -> None:
     p = argparse.ArgumentParser()
     p.add_argument("--recipes", nargs="*", default=list(RECIPES),
                    choices=list(RECIPES))
+    p.add_argument("--bf16", action="store_true",
+                   help="replay under the shipping bf16 recipe (xpack "
+                        "trunk + raw-bf16 buddy scores) at the measured "
+                        "bf16 gates")
     args_cli = p.parse_args(argv)
 
     import jax
@@ -99,6 +116,11 @@ def main(argv=None) -> None:
 
             vgg0 = {k: v.numpy().copy()
                     for k, v in _make_vgg19_stub()().state_dict().items()}
+        config_mutate = None
+        if args_cli.bf16:
+            def config_mutate(config):  # noqa: F811
+                config.TPU.COMPUTE_DTYPE = "bfloat16"
+
         got = run_jax(
             args,
             make_batches(warm_n, batch, 96, seed=1234),
@@ -108,6 +130,7 @@ def main(argv=None) -> None:
             cd0=unpack(data, "cd0") if recipe == "flagship" else None,
             vgg0=vgg0,
             require_cpu=False,
+            config_mutate=config_mutate,
         )
         head = slice(0, 5)
         rels = {
@@ -120,8 +143,12 @@ def main(argv=None) -> None:
             "warm_full": max_rel(data["warm_losses"], got["warm_losses"]),
             "gan_full_g": max_rel(data["gan_g_losses"], got["gan_g_losses"]),
         }
-        gates = {"warm5": GATE_WARM5, "gan5_g": GATE_GAN5_G,
-                 "gan5_d": GATE_GAN5_D}
+        if args_cli.bf16:
+            gates = {"warm5": GATE_BF16_WARM5, "gan5_g": GATE_BF16_GAN5_G,
+                     "gan5_d": GATE_BF16_GAN5_D}
+        else:
+            gates = {"warm5": GATE_WARM5, "gan5_g": GATE_GAN5_G,
+                     "gan5_d": GATE_GAN5_D}
         ok = all(rels[k] < gates[k] for k in gates)
         failed |= not ok
         print(json.dumps({
@@ -129,7 +156,7 @@ def main(argv=None) -> None:
             "value": rels["warm5"],
             "unit": ("first-5-step warmup G-loss max rel-err vs the "
                      "executed-torch-reference golden, TPU backend"),
-            "config": recipe,
+            "config": recipe + ("-bf16" if args_cli.bf16 else ""),
             "backend": backend,
             "detail": {k: round(v, 6) for k, v in rels.items()},
             "gates": gates,

@@ -53,6 +53,17 @@ def run_and_trace_infer(k: int = 8):
     s = config.DATA.UPSCALE_FACTOR
     h, w = 2160 // s, 3840 // s
     g_model = Generator.from_config(config)
+    # profile the same generator variants bench_serving.py measures
+    # (SERVE_VARIANT=inner1|inner2|stem|xev|... -> its kwarg overrides)
+    import os
+
+    variant = os.environ.get("SERVE_VARIANT")
+    if variant:
+        from tools.bench_serving import VARIANTS
+
+        overrides = VARIANTS[variant]
+        if overrides:
+            g_model = g_model.copy(**overrides)
     rng = np.random.default_rng(0)
     lr = jnp.asarray(rng.random((1, h, w, 3), np.float32))
     noise = jnp.asarray(rng.random((8, 1, h, w, 3), np.float32))
