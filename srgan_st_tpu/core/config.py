@@ -221,6 +221,20 @@ class Config:
         # "fused" / "packed" (the lane-packed Pallas fwd+bwd pair,
         # kernels/packed_trunk.py).
         self.TPU.TRUNK_MODE = None
+        # Generator conv1 stem formulation: None = direct 9x9 conv (the
+        # bit-exact reference path; right for training, where the batch
+        # fills the MXU), "s2d" = space-to-depth(4)-factored conv
+        # (ops/subpixel_conv.py) for batch-1 serving, where the 3-channel
+        # input starves the implicit GEMM. Parameter tree is identical
+        # either way (models/common.py TapConv), so checkpoints are
+        # interchangeable. See tools/bench_serving.py for the on-chip A/B.
+        self.TPU.STEM_MODE = None
+        # Inner s2d factoring of the generator's fused reconstruction
+        # conv: None = auto (the Pallas VMEM-relayout kernel where it is
+        # GSPMD-safe; see models/generator.py conv3_inner), 1 = plain
+        # coarse conv, 2 = XLA inner s2d (measured slower at training
+        # shapes), "pallas" = force the kernel.
+        self.TPU.CONV3_INNER = None
         # Batches per device dispatch (lax.scan chunk). None -> the natural
         # interval (D_UPDATE_INTERVAL for GAN, LOG_TRAIN_PERIOD for warmup);
         # 1 -> per-batch stepping. Host dispatch of the ~700-leaf train state

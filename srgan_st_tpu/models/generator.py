@@ -143,6 +143,8 @@ class Generator(nn.Module):
             local_bn=bool(getattr(config.TPU, "LOCAL_BN", False)),
             remat=config.TPU.REMAT,
             trunk_mode=getattr(config.TPU, "TRUNK_MODE", None),
+            stem_mode=getattr(config.TPU, "STEM_MODE", None),
+            conv3_inner=getattr(config.TPU, "CONV3_INNER", None),
         )
 
     def _packed_ok(self, x) -> bool:
@@ -190,6 +192,16 @@ class Generator(nn.Module):
         relayouts), "fused" (983 vs 353 us/step forward — Mosaic lowers
         the batched dots as per-row matmuls)."""
         if self.trunk_mode is not None:
+            if train and self.trunk_mode == "xpack_eval":
+                # xpack_eval is the BN-folded running-stat trunk — reaching
+                # it from a training step would silently train with frozen
+                # normalization and no batch-stat EMA. Eval opts into it
+                # via trunk_mode="xpack" (see _trunk's eval branch).
+                raise ValueError(
+                    "trunk_mode='xpack_eval' is an eval-only formulation; "
+                    "use trunk_mode='xpack' (eval resolves it to the "
+                    "BN-folded eval trunk automatically)"
+                )
             return self.trunk_mode
         if self.dtype == jnp.bfloat16:
             return "xpack"

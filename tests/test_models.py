@@ -69,6 +69,35 @@ class TestGenerator:
             err_msg=f"conv3_inner=2 upscale={upscale}",
         )
 
+    def test_stem_s2d_agrees(self):
+        """stem_mode="s2d" (the serving stem factoring, config
+        TPU.STEM_MODE) is the same dot products reassociated — exact vs
+        the direct conv1 on the shared param tree."""
+        kwargs = dict(channels=16, num_rcb=2, upscale=4)
+        x = jax.random.uniform(jax.random.key(1), (2, 12, 12, 3))
+        g_base = Generator(**kwargs)
+        variables = g_base.init(jax.random.key(0), x, train=False)
+        out_base = g_base.apply(variables, x, train=False)
+        out_s2d = Generator(**kwargs, stem_mode="s2d").apply(
+            variables, x, train=False
+        )
+        np.testing.assert_allclose(
+            np.asarray(out_s2d), np.asarray(out_base), atol=1e-5
+        )
+
+    def test_serving_fields_reach_from_config(self, config):
+        """TPU.STEM_MODE / TPU.CONV3_INNER / TPU.TRUNK_MODE are the user
+        surface for the serving variants (tools/bench_serving.py); they
+        must reach the Generator through from_config."""
+        c = Config()
+        c.TPU.STEM_MODE = "s2d"
+        c.TPU.CONV3_INNER = 2
+        c.TPU.TRUNK_MODE = "unfused"
+        g = Generator.from_config(c)
+        assert g.stem_mode == "s2d"
+        assert g.conv3_inner == 2
+        assert g.trunk_mode == "unfused"
+
     def test_batch_stats_update(self, config):
         g = Generator.from_config(config)
         variables = g.init(jax.random.key(0), jnp.zeros((1, 24, 24, 3)), train=False)
