@@ -12,14 +12,18 @@ Usage:
       variants: base | inner1 | inner2 | xev | xev-inner2 | f32 | ...
       (default: base inner2)
 
-Context (ONCHIP_r04 infer profile, 67.8 ms/frame): conv3's coarse form
-(5,5,256,12) runs at 12/128 MXU lanes (17.8 ms, 26% of the frame) because
-the Pallas lane-repack kernel is VMEM-gated out at 1080p; the trunk's
-C=64 convs run at ~29% utilization. Variants here probe the fixes.
+Measured context (ONCHIP_r05_serving.log): the H-tiled Pallas conv3
+LOSES 2.3x end-to-end at 4K (base-with-pallas 159.2 vs inner1's XLA
+coarse conv 69.2 ms/frame) — its packed-operand layout drags the
+producing up-conv and the W-parity pack through hostile layouts (the
+infer-4k profile shows the up2 conv fusion at 38% of the frame and
+~31% in pure copies/reshapes when the Pallas path is on). conv3_inner=1
+(XLA) is therefore the serving default; variants probe combos on top.
 """
 
 from __future__ import annotations
 
+import os
 import sys
 import time
 
@@ -36,6 +40,16 @@ VARIANTS = {
     "unfused": {"trunk_mode": "unfused"},
     "stem": {"stem_mode": "s2d"},
     "stem-xev": {"stem_mode": "s2d", "trunk_mode": "xpack"},
+    # combos on top of the measured r5 winner (conv3_inner=1: the XLA
+    # coarse conv3 — the H-tiled Pallas kernel LOSES 159 vs 69 ms/frame
+    # at the 4K serving shape, ONCHIP_r05_serving.log)
+    "inner1-stem": {"conv3_inner": 1, "stem_mode": "s2d"},
+    "inner1-xev": {"conv3_inner": 1, "trunk_mode": "xpack"},
+    "inner1-stem-xev": {"conv3_inner": 1, "stem_mode": "s2d",
+                        "trunk_mode": "xpack"},
+    # the fused Pallas tail (kernels/serving_tail.py): last upsample
+    # conv + PReLU + doubly-coarse conv3 in one H-tiled kernel
+    "tail": {"tail_mode": "fused"},
 }
 
 
@@ -62,12 +76,22 @@ def measure(variant: str, dtype: str = "bfloat16", iters: int = 20) -> float:
     variables = g_model.init(jax.random.key(0), lr[:, :24, :24], train=False)
     variables = jax.device_put(variables)
 
+    # POOL_BF16=1: run the pool-feedback consumer in bf16 (the cast is
+    # elementwise, fused into the generator's final clamp; every HR pixel
+    # is still consumed). The f32 consumer measured ~4.5 ms of the 67.8 ms
+    # inner1 frame (reshape.146 + reduce.3, ONCHIP_r05_serving.log) — pure
+    # harness overhead the FLOP-derived A100 anchor does not pay.
+    pool_bf16 = os.environ.get("POOL_BF16") == "1"
+
     @jax.jit
     def step(v, x, z, i):
         sr = g_model.apply(v, x, train=False)
+        if pool_bf16:
+            sr = sr.astype(jnp.bfloat16)
         b, hh, ww, c = sr.shape
         pooled = sr.reshape(b, hh // s, s, ww // s, s, c).mean((2, 4))
-        return (0.5 * pooled + 0.5 * z + 1e-7 * i).astype(x.dtype)
+        return (0.5 * pooled.astype(jnp.float32) + 0.5 * z
+                + 1e-7 * i).astype(x.dtype)
 
     def fetch(t):
         return float(jnp.sum(t.astype(jnp.float32)))
