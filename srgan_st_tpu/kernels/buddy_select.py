@@ -46,8 +46,11 @@ behavior; and the two paths are bit-exact against each other on-chip).
 bf16 inputs (the bf16 training step) contract the raw bf16 operands in
 ONE MXU pass — bit-identical to HIGHEST for bf16-valued operands (the
 split passes only add exact zeros; measured def==hi 1.0000 on-chip) and
-the same speed in steady state (~0.10 vs ~0.13 ms/call at the d=9 Gram
-shape; at these tiny d the selection is reduction-, not matmul-, bound).
+faster in steady state: 0.47 vs 0.79 ms/call at the d=9/d=27 gt=96
+shapes, measured with an IN-GRAPH fori_loop chain that amortizes the
+axon tunnel's ~1-2 ms per-dispatch RPC (ONCHIP_r05_buddy.log; the
+per-dispatch chain numbers in the same log are RPC-dominated and
+direction-unreliable for sub-ms kernels — see PERF.md §3b).
 
 The selection is gradient-free by construction (argmin has no gradient and
 the bank derives from ground truth, so the reference's gather backward is

@@ -180,7 +180,8 @@ def xpack_trunk_eval(x, w1s, w2s, g1s, b1s, g2s, b2s, als,
     the output-channel axis) and the shift becomes a conv bias — each RCB
     is then conv+bias(+PReLU) -> conv+bias -> residual add, every conv a
     full-128-lane packed (3, 2, 2C, 2C) MXU call. Built for the serving
-    path: the ONCHIP_r04 infer profile shows the unfused eval trunk's
+    path: the 4K infer profile (ONCHIP_r05_serving.log §3) shows the
+    unfused eval trunk's
     C=64 convs running at ~29% MXU utilization (about 21 of the 68
     ms/frame at 4K). Same packing/masks as `xpack_trunk`; numerics match
     the unfused flax eval trunk to fold/accumulation-order rounding

@@ -145,7 +145,8 @@ class TapConv(nn.Module):
     # s2d factor of the default (non-pre-shuffled) mode. 2 suits the
     # 64->3 reconstruction conv at training shapes; 4 suits the 3->64
     # STEM conv at batch-1 serving shapes, where the 3-channel input
-    # lanes starve the MXU (ONCHIP_r04 infer profile: 2.7 ms/frame).
+    # lanes starve the MXU (4K infer profile: ~2.7 ms/frame; committed
+    # profile: ONCHIP_r05_serving.log).
     # Falls back to the direct conv when H or W isn't divisible.
     subpixel_factor: int = 2
 
