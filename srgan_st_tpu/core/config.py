@@ -231,10 +231,22 @@ class Config:
         self.TPU.STEM_MODE = None
         # Inner s2d factoring of the generator's fused reconstruction
         # conv: None = auto (the Pallas VMEM-relayout kernel where it is
-        # GSPMD-safe; see models/generator.py conv3_inner), 1 = plain
-        # coarse conv, 2 = XLA inner s2d (measured slower at training
-        # shapes), "pallas" = force the kernel.
+        # GSPMD-safe AND training-scale — the one-block envelope; see
+        # models/generator.py conv3_inner), 1 = plain coarse conv, 2 =
+        # XLA inner s2d (measured slower at training shapes), "pallas" =
+        # force the one-block kernel, "pallas-tiled" = opt into the
+        # H-tiled serving-size kernel (measured 2.3x END-TO-END LOSS at
+        # 4K from layout poisoning around the custom call,
+        # ONCHIP_r05_serving.log — microbench/diagnostic use only).
         self.TPU.CONV3_INNER = None
+        # Serving tail: None = the composed eval tail (last upsample
+        # block + the fused reconstruction conv), "fused" = the single
+        # H-tiled Pallas kernel (kernels/serving_tail.py — up-conv +
+        # PReLU + doubly-coarse conv3; the 256-channel pre-shuffle
+        # activation never touches HBM). Eval-only, shape-gated with a
+        # safe fallback; parameter tree identical either way. See
+        # tools/bench_serving.py ("tail") for the on-chip A/B.
+        self.TPU.TAIL_MODE = None
         # Batches per device dispatch (lax.scan chunk). None -> the natural
         # interval (D_UPDATE_INTERVAL for GAN, LOG_TRAIN_PERIOD for warmup);
         # 1 -> per-batch stepping. Host dispatch of the ~700-leaf train state

@@ -108,7 +108,12 @@ class Generator(nn.Module):
     # measured -0.12 ms/step) when it is GSPMD-safe (single device, or
     # explicit-SPMD via axis_name so the kernel runs per-shard; a GSPMD
     # multi-chip mesh would all-gather custom-call operands), else the
-    # plain XLA coarse conv. "pallas"/1 force a path.
+    # plain XLA coarse conv. Auto/"pallas" engage the ONE-BLOCK
+    # (training-scale) kernel only; at serving sizes they fall back to
+    # the XLA coarse conv (the H-tiled kernel is a measured 2.3x
+    # end-to-end loss at 4K — layout poisoning around the custom call,
+    # ONCHIP_r05_serving.log — and is opt-in via "pallas-tiled").
+    # 1/2 force the XLA paths.
     conv3_inner: int | str | None = None
     # trunk execution: None=auto (see _trunk_mode), or force one of
     # "unfused" (flax blocks), "xpack" (W-parity lane packing as pure
@@ -129,6 +134,13 @@ class Generator(nn.Module):
     # (ONCHIP_r04 infer profile: 2.7 of 68 ms/frame). Param tree is
     # nn.Conv-compatible either way (TapConv).
     stem_mode: str | None = None
+    # serving tail: None = the composed path (last upsample block +
+    # TapConv conv3), "fused" = the single H-tiled Pallas kernel
+    # (kernels/serving_tail.py: up-conv + PReLU + doubly-coarse conv3,
+    # the 256-channel pre-shuffle activation never touches HBM).
+    # Eval-only; shape-gated with a safe fallback to the composed path.
+    # Param tree is identical (the kernel reads the up/conv3 subtrees).
+    tail_mode: str | None = None
 
     @classmethod
     def from_config(cls, config, dtype=None, axis_name=None):
@@ -145,6 +157,7 @@ class Generator(nn.Module):
             trunk_mode=getattr(config.TPU, "TRUNK_MODE", None),
             stem_mode=getattr(config.TPU, "STEM_MODE", None),
             conv3_inner=getattr(config.TPU, "CONV3_INNER", None),
+            tail_mode=getattr(config.TPU, "TAIL_MODE", None),
         )
 
     def _packed_ok(self, x) -> bool:
@@ -336,6 +349,52 @@ class Generator(nn.Module):
                 self.scope.put_variable("batch_stats", f"rcb{i}", new)
         return y
 
+    def _use_fused_tail(self, x, r, train, fuse) -> bool:
+        """Dispatch gate for the fused serving tail (kernels/
+        serving_tail.py): explicit eval-only opt-in (tail_mode="fused"),
+        the conv3 fusion active (the kernel consumes the pre-shuffle
+        activation), a x2 last block, concrete even dims inside the
+        kernel's VMEM feasibility envelope (serving_tail.fits_budget —
+        the single source of truth), and live params (init runs the
+        composed modules so the variable tree is identical)."""
+        if self.tail_mode != "fused" or train or not fuse or r != 2:
+            return False
+        if self.is_initializing():
+            return False
+        if self.scope.get_variable("params", f"up{len(self._up_factors()) - 1}"
+                                   ) is None:
+            return False
+        from srgan_st_tpu.kernels.serving_tail import fits_budget
+        from srgan_st_tpu.ops.subpixel_conv import _concrete_pred
+
+        return _concrete_pred(lambda: fits_budget(
+            x.shape[1], x.shape[2], x.shape[3],
+            self.channels * 4, self.out_channels,
+        ))
+
+    def _up_factors(self):
+        if self.upscale in (2, 4, 8):
+            return [2] * int(math.log2(self.upscale))
+        if self.upscale == 3:
+            return [3]
+        raise ValueError(f"unsupported upscale factor {self.upscale}")
+
+    def _fused_tail(self, x, i):
+        """Run the fused tail kernel on the composed path's own params
+        (identical variable tree; checkpoints unaffected)."""
+        import jax
+
+        from srgan_st_tpu.kernels.serving_tail import serving_tail
+
+        up = self.scope.get_variable("params", f"up{i}")
+        c3 = self.scope.get_variable("params", "conv3")
+        out = serving_tail(
+            x, up["conv"]["kernel"], up["conv"]["bias"],
+            up["prelu"]["alpha"], c3["kernel"], c3["bias"],
+            interpret=jax.default_backend() != "tpu",
+        )
+        return jnp.clip(out.astype(jnp.float32), 0.0, 1.0)
+
     @nn.compact
     def __call__(self, x, train: bool = True):
         x = x.astype(self.dtype)
@@ -370,12 +429,7 @@ class Generator(nn.Module):
         x = x + conv1
 
         # Sub-pixel zoom blocks (model.py:118-124)
-        if self.upscale in (2, 4, 8):
-            factors = [2] * int(math.log2(self.upscale))
-        elif self.upscale == 3:
-            factors = [3]
-        else:
-            raise ValueError(f"unsupported upscale factor {self.upscale}")
+        factors = self._up_factors()
         # conv3_mode None (default): the LAST block's pixel-shuffle and the
         # reconstruction conv's space-to-depth are exact channel-layout
         # inverses (ops/subpixel_conv.py conv2d_subpixel_pre_shuffled), so
@@ -384,6 +438,8 @@ class Generator(nn.Module):
         fuse = self.conv3_mode is None
         for i, r in enumerate(factors):
             last = i == len(factors) - 1
+            if last and self._use_fused_tail(x, r, train, fuse):
+                return self._fused_tail(x, i)
             x = UpsampleBlock(
                 self.channels, r, dtype=self.dtype,
                 fuse_shuffle=fuse and last, name=f"up{i}",

@@ -123,25 +123,38 @@ def conv2d_subpixel_pre_shuffled(
     relayout copies cost more than the lane gain (inner_factor=2 loses
     1.2 ms/step) — use inner_factor="pallas" for the VMEM-relayout kernel
     (kernels/coarse_conv.py) that wins it back; it requires factor==2 and
-    falls back to the plain path off-TPU."""
-    if inner_factor == "pallas":
-        # kernels/coarse_conv.py: training-scale inputs run whole-image-
-        # in-VMEM; larger inputs (whole-image serving) self-dispatch to
-        # the H-tiled double-buffered DMA kernel, so the only gates left
-        # are even dims + a degenerate-aspect-ratio escape (one padded
-        # row must fit the tiled budget). The gate IS the kernel's own
-        # dispatch feasibility check (coarse_conv.fits_budget) — an
-        # approximation here could pass where _pick_tile fails, turning
-        # the intended XLA fallback into a trace-time error.
-        from srgan_st_tpu.kernels.coarse_conv import fits_budget
+    falls back to the plain path off-TPU. "pallas" engages ONLY the
+    one-block (training-scale) kernel: at whole-image serving sizes the
+    H-tiled variant's custom-call operand layout poisons XLA's layout
+    assignment around it — measured 2.3x END-TO-END LOSS at 4K (159.2 vs
+    69.2 ms/frame, up-conv fusion 4.1 -> 59.9 ms, ~31% of the frame in
+    copies; ONCHIP_r05_serving.log). inner_factor="pallas-tiled" opts
+    into the tiled kernel explicitly (microbenching, future layouts)."""
+    if inner_factor in ("pallas", "pallas-tiled"):
+        # kernels/coarse_conv.py. For "pallas" the gate is the ONE-BLOCK
+        # envelope only (coarse_conv dispatches by the same bound, so the
+        # tiled kernel is unreachable); for "pallas-tiled" the gate is the
+        # kernel's full dispatch feasibility (coarse_conv.fits_budget —
+        # the single source of truth; an approximation here could pass
+        # where _pick_tile fails, turning the intended XLA fallback into
+        # a trace-time error).
+        from srgan_st_tpu.kernels.coarse_conv import (
+            ONE_BLOCK_BYTES, fits_budget,
+        )
 
         # the kernel sees w2 = _coarse_kernel(w, 2): n2 = 4 * w's out dim
-        row_fits = _concrete_pred(
-            lambda: fits_budget(
-                y.shape[1], y.shape[2], y.shape[3], 4 * w.shape[-1]
+        if inner_factor == "pallas-tiled":
+            fits = _concrete_pred(
+                lambda: fits_budget(
+                    y.shape[1], y.shape[2], y.shape[3], 4 * w.shape[-1]
+                )
             )
-        )
-        if (factor == 2 and jax.default_backend() == "tpu" and row_fits
+        else:
+            fits = _concrete_pred(
+                lambda: (y.shape[1] + 4) * (y.shape[2] // 2 + 2)
+                * 2 * y.shape[3] * 2 <= ONE_BLOCK_BYTES
+            )
+        if (factor == 2 and jax.default_backend() == "tpu" and fits
                 and _concrete_pred(
                     lambda: y.shape[1] % 2 == 0 and y.shape[2] % 2 == 0)):
             return _pre_shuffled_f2_pallas(

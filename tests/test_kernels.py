@@ -215,6 +215,58 @@ class TestCoarseConv:
             np.asarray(got), np.asarray(golden), atol=1e-4
         )
 
+    def test_pallas_gate_is_one_block_only(self, rng, monkeypatch):
+        """inner_factor='pallas' (what the generator auto resolves to)
+        must dispatch the Pallas kernel ONLY inside the one-block
+        (training-scale) envelope: at serving sizes the H-tiled kernel is
+        a measured 2.3x END-TO-END loss (layout poisoning around the
+        custom call, ONCHIP_r05_serving.log), so big inputs fall back to
+        the XLA coarse conv and the tiled kernel is opt-in via
+        inner_factor='pallas-tiled'."""
+        import jax as jax_mod
+
+        from srgan_st_tpu.kernels import coarse_conv as cc
+        from srgan_st_tpu.ops import subpixel_conv as sc
+
+        calls = []
+
+        def fake_pallas(y, w, b):
+            calls.append(tuple(y.shape))
+            return sc._pre_shuffled_f2_reference(y, w, b)
+
+        monkeypatch.setattr(sc, "_pre_shuffled_f2_pallas", fake_pallas)
+        monkeypatch.setattr(jax_mod, "default_backend", lambda: "tpu")
+
+        y = jnp.asarray(rng.random((1, 8, 8, 16), dtype=np.float32))
+        w = jnp.asarray(rng.random((9, 9, 4, 3), dtype=np.float32) - 0.5)
+        b = jnp.asarray(rng.random((3,), dtype=np.float32))
+        golden = sc._pre_shuffled_f2_reference(y, w, b)
+
+        # inside the one-block envelope: "pallas" dispatches the kernel
+        got = sc.conv2d_subpixel_pre_shuffled(
+            y, w, b, factor=2, inner_factor="pallas")
+        assert calls == [(1, 8, 8, 16)]
+        np.testing.assert_allclose(np.asarray(got), np.asarray(golden),
+                                   atol=1e-5)
+
+        # outside it (budget shrunk to zero): "pallas" must FALL BACK to
+        # the XLA coarse conv, not reach the tiled kernel
+        monkeypatch.setattr(cc, "ONE_BLOCK_BYTES", 0)
+        calls.clear()
+        got = sc.conv2d_subpixel_pre_shuffled(
+            y, w, b, factor=2, inner_factor="pallas")
+        assert calls == []
+        np.testing.assert_allclose(np.asarray(got), np.asarray(golden),
+                                   atol=1e-5)
+
+        # "pallas-tiled" opts into the kernel wherever dispatch is
+        # feasible (fits_budget: _pick_tile finds an H tile)
+        got = sc.conv2d_subpixel_pre_shuffled(
+            y, w, b, factor=2, inner_factor="pallas-tiled")
+        assert calls == [(1, 8, 8, 16)]
+        np.testing.assert_allclose(np.asarray(got), np.asarray(golden),
+                                   atol=1e-5)
+
 
 class TestFusedTrunk:
     """kernels/fused_trunk.py: the 16-RCB trunk as one Pallas kernel
@@ -821,6 +873,117 @@ class TestHybridTrunk:
         out_un, _ = g_un.apply(v, lr, train=True, mutable=["batch_stats"])
         out_h, _ = g_h.apply(v, lr, train=True, mutable=["batch_stats"])
         np.testing.assert_array_equal(np.asarray(out_un), np.asarray(out_h))
+
+
+class TestServingTail:
+    """kernels/serving_tail.py: the fused [last upsample conv + PReLU +
+    doubly-coarse conv3] H-tiled serving kernel (interpret mode; the
+    real-TPU drive is tools/verify_tail_onchip.py)."""
+
+    def _args(self, rng, b=1, h=8, w=8, c=64, n=3):
+        f = lambda *s: jnp.asarray(  # noqa: E731
+            rng.random(s, dtype=np.float32) - 0.5)
+        return (f(b, h, w, c), f(3, 3, c, 4 * c), f(4 * c),
+                jnp.float32(0.25), f(9, 9, c, n), f(n))
+
+    @staticmethod
+    def _golden(y, w_up, b_up, alpha, w3, b3):
+        """The composed XLA eval tail the kernel reassociates: up-conv +
+        PReLU on the pre-shuffle activation, then the fused
+        reconstruction conv (generator's fuse_shuffle path)."""
+        from jax import lax
+
+        from srgan_st_tpu.ops.subpixel_conv import (
+            conv2d_subpixel_pre_shuffled,
+        )
+
+        t = lax.conv_general_dilated(
+            y, w_up, (1, 1), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        ) + b_up
+        t = jnp.where(t >= 0, t, alpha * t)
+        return conv2d_subpixel_pre_shuffled(t, w3, b3, factor=2,
+                                            inner_factor=1)
+
+    @pytest.mark.parametrize("shape", [(1, 8, 8), (2, 12, 16)])
+    def test_matches_composed_tail(self, rng, shape):
+        from srgan_st_tpu.kernels.serving_tail import serving_tail
+
+        b, h, w = shape
+        args = self._args(rng, b, h, w)
+        golden = self._golden(*args)
+        got = serving_tail(*args, interpret=True)
+        assert got.shape == (b, 2 * h, 2 * w, 3)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(golden), atol=2e-4
+        )
+
+    def test_multi_tile_double_buffer(self, rng, monkeypatch):
+        """Several H tiles (budget shrunk to the th = hc//2 working set):
+        exercises the double-buffer rotation, the halo windows, and the
+        top/bottom edge-row masking."""
+        from srgan_st_tpu.kernels import serving_tail as st
+
+        b, h, w, c, n = 2, 16, 8, 64, 3
+        hc, wc, c2u, n3 = h // 2, w // 2, 2 * 4 * c, 16 * n
+        th0 = hc // 2
+        wp8 = -(-(wc + 3) // 8) * 8
+        budget = (2 * (2 * th0 + 6) * wp8 * 128 * 2
+                  + (th0 + 2) * 2 * (wc + 2) * c2u * 2
+                  + 4 * wc * c2u * 4 + 4 * th0 * wc * c2u * 2
+                  + 2 * th0 * wc * n3 * 4
+                  + (6 * 128 * c2u + 18 * c2u * n3) * 2)
+        monkeypatch.setattr(st, "TAIL_BUDGET_BYTES", budget)
+        assert st._pick_tile(hc, wc, c2u, n3) == th0
+        args = self._args(rng, b, h, w, c, n)
+        golden = self._golden(*args)
+        got = st.serving_tail(*args, interpret=True)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(golden), atol=2e-4
+        )
+
+    def test_generator_wiring_and_gates(self, rng):
+        """Generator(tail_mode='fused'): identical param tree, eval
+        output matches the composed path; the gate skips training steps
+        and infeasible shapes (safe fallback, no error)."""
+        from flax import traverse_util
+
+        from srgan_st_tpu.models.generator import Generator
+
+        g = Generator(num_rcb=2)
+        gt = g.copy(tail_mode="fused")
+        lr = jnp.asarray(rng.random((1, 6, 8, 3), dtype=np.float32))
+        v = g.init(jax.random.key(0), lr, train=False)
+        vt = gt.init(jax.random.key(0), lr, train=False)
+        assert (set(traverse_util.flatten_dict(v["params"]))
+                == set(traverse_util.flatten_dict(vt["params"])))
+
+        base = g.apply(v, lr, train=False)
+        tail = gt.apply(v, lr, train=False)
+        np.testing.assert_allclose(
+            np.asarray(tail), np.asarray(base), atol=2e-5
+        )
+
+        # gates: train=True and odd serving dims (x2 model, odd LR) must
+        # fall back to the composed path without reaching the kernel
+        from srgan_st_tpu.kernels import serving_tail as st_mod
+
+        def boom(*a, **k):
+            raise AssertionError("fused tail reached through a gate")
+
+        orig = st_mod.serving_tail
+        st_mod.serving_tail = boom
+        try:
+            out = gt.apply(v, lr, train=True,
+                           mutable=["batch_stats"])[0]
+            assert out.shape == (1, 24, 32, 3)
+            g2 = Generator(num_rcb=2, upscale=2, tail_mode="fused")
+            lr_odd = jnp.asarray(rng.random((1, 7, 9, 3), dtype=np.float32))
+            v2 = g2.init(jax.random.key(0), lr_odd, train=False)
+            out2 = g2.apply(v2, lr_odd, train=False)
+            assert out2.shape == (1, 14, 18, 3)
+        finally:
+            st_mod.serving_tail = orig
 
 
 @pytest.mark.tpu
