@@ -121,6 +121,10 @@ def measure(name: str) -> dict:
     config.TPU.COMPUTE_DTYPE = dtype
     # trunk-path A/B (None = auto, "unfused"/"packed"/"fused")
     config.TPU.TRUNK_MODE = os.environ.get("BENCH_TRUNK") or None
+    # conv3 inner-path A/B ("1"/"2"/"pallas"/"pallas-tiled"; None = auto)
+    _c3 = os.environ.get("BENCH_CONV3")
+    if _c3:
+        config.TPU.CONV3_INNER = int(_c3) if _c3.isdigit() else _c3
 
     n_chips = len(jax.devices())
     # reference batch per chip (16); BENCH_BATCH overrides for capability
@@ -235,6 +239,10 @@ def measure_e2e(stream: bool = False) -> dict:
     dtype = os.environ.get("BENCH_DTYPE", "bfloat16")
     config.TPU.COMPUTE_DTYPE = dtype
     config.TPU.TRUNK_MODE = os.environ.get("BENCH_TRUNK") or None
+    # conv3 inner-path A/B ("1"/"2"/"pallas"/"pallas-tiled"; None = auto)
+    _c3 = os.environ.get("BENCH_CONV3")
+    if _c3:
+        config.TPU.CONV3_INNER = int(_c3) if _c3.isdigit() else _c3
     n_chips = len(jax.devices())
     per_chip_batch = 16
     config.DATA.BATCH_SIZE = per_chip_batch * n_chips

@@ -116,6 +116,10 @@ def run_and_trace(name: str, k: int = 8, with_d: bool = False):
     import os
 
     config.TPU.TRUNK_MODE = os.environ.get("BENCH_TRUNK") or None
+    # conv3 inner-path A/B ("1"/"2"/"pallas"/"pallas-tiled"; None = auto)
+    _c3 = os.environ.get("BENCH_CONV3")
+    if _c3:
+        config.TPU.CONV3_INNER = int(_c3) if _c3.isdigit() else _c3
     mesh = make_mesh(config)
     g_model = Generator.from_config(config)
     d_model = Discriminator.from_config(config)
