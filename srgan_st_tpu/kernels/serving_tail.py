@@ -291,6 +291,14 @@ def serving_tail(y: jnp.ndarray, w_up: jnp.ndarray, b_up: jnp.ndarray,
         interpret=interpret,
     )(yq, wq.astype(cdt), scal, wb)
 
-    out = depth_to_space(z.astype(cdt), 2)  # undo the inner factoring
-    out = depth_to_space(out, 2)            # undo the elided shuffle pair
+    # undo the inner factoring AND the elided shuffle pair in ONE
+    # composite transpose (d2s∘d2s as two 6-D transposes measured 11.2
+    # ms/frame of the 98.5 ms tail variant — reshape.23 + copy.507,
+    # SERVE_VARIANT=tail profile; lanes are (n, py, px, ry, rx) where
+    # (py, px) are the coarse-kernel phases and (ry, rx) the inner ones:
+    # HR row = 4*i + 2*ry + py, col = 4*j + 2*rx + px)
+    n = w3.shape[-1]
+    zc = z.astype(cdt).reshape(b, hc, wc, n, 2, 2, 2, 2)
+    zc = zc.transpose(0, 1, 6, 4, 2, 7, 5, 3)  # b, hc, ry, py, wc, rx, px, n
+    out = zc.reshape(b, 4 * hc, 4 * wc, n)
     return out + b3.astype(cdt)

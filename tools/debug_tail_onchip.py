@@ -62,13 +62,19 @@ def rung(name, shape, budget=None):
             ref = golden(*a)
             ref_hi = golden(*a, highest=True)
             got = jax.jit(st.serving_tail)(*a)
-            d = float(jnp.max(jnp.abs(got.astype(jnp.float32)
-                                      - ref.astype(jnp.float32))))
+            ad = np.abs(np.asarray(got, np.float32)
+                        - np.asarray(ref, np.float32))
+            d = float(ad.max())
+            loc = np.unravel_index(ad.argmax(), ad.shape)
             dhi = float(jnp.max(jnp.abs(got.astype(jnp.float32)
                                         - ref_hi.astype(jnp.float32))))
+            # which fine output rows hold large error, vs tile boundaries
+            rows = np.where(ad.max(axis=(0, 2, 3)) > 0.5 * d)[0]
             tol = 1e-4 if dtype == jnp.float32 else 2e-2
             print(f"{name} {np.dtype(dtype).name:8s} th={th} "
                   f"nh={h // 2 // th} maxdiff={d:.6f} vs-highest={dhi:.6f} "
+                  f"argmax={loc} hot_rows={rows[:12].tolist()} "
+                  f"(tile boundary rows: every {4 * th} fine) "
                   f"{'OK' if min(d, dhi) < tol else 'FAIL'}", flush=True)
     finally:
         st.TAIL_BUDGET_BYTES = old
@@ -191,11 +197,16 @@ def main():
         dump_stage1((1, 8, 8), "float32")
         dump_stage1((1, 8, 8), "bfloat16")
         return
-    rung("A  8x8   1-tile ", (1, 8, 8))
+    which = sys.argv[1] if len(sys.argv) > 1 else "ABCD"
+    if "A" in which:
+        rung("A  8x8   1-tile ", (1, 8, 8))
     # 2.2 MB: th=4 (nh=2) feasible, th=8 excluded -> real tiling
-    rung("B 16x16 2-tiles ", (1, 16, 16), budget=2_200_000)
-    rung("C 16x16 batch-2 ", (2, 16, 16), budget=2_200_000)
-    rung("D 136x256 verify", (1, 136, 256))
+    if "B" in which:
+        rung("B 16x16 2-tiles ", (1, 16, 16), budget=2_200_000)
+    if "C" in which:
+        rung("C 16x16 batch-2 ", (2, 16, 16), budget=2_200_000)
+    if "D" in which:
+        rung("D 136x256 verify", (1, 136, 256))
 
 
 if __name__ == "__main__":
