@@ -424,6 +424,18 @@ def main() -> None:
     ]
     for r in records:
         lines.append(f"| {r['config']} ({r['unit']}) | {r['value']} | {r['vs_baseline']}x |")
+    lines += [
+        "",
+        "Notes:",
+        "- e2e-stream is LINK-BOUND on this tunneled host: the row sits",
+        "  at ~70-80% of the measured 1,494 patches/s producer-path",
+        "  ceiling (`tools/bench_stream.py`; PERF.md §6). The r4",
+        "  1,678 → 1,039 drop was the fetch-barrier timing fix deflating",
+        "  an inflated number (transfers overlapping untimed warmup).",
+        "- infer-4k's anchor is DERIVED (A100 at an assumed 25% TF32",
+        "  utilization), not measured; per-op bound + attack ledger in",
+        "  PERF.md §3d. Every measured-anchor row is 9-19x ahead.",
+    ]
     with open("BENCH_SUITE.md", "w") as f:
         f.write("\n".join(lines) + "\n")
 

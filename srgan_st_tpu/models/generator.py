@@ -130,9 +130,10 @@ class Generator(nn.Module):
     # conv1 stem formulation: None = direct conv (bit-exact reference
     # path, right for training where the batch fills the MXU), "s2d" =
     # space-to-depth(4)-factored conv (ops/subpixel_conv.py) for batch-1
-    # serving, where the 3-channel input starves the implicit GEMM
-    # (ONCHIP_r04 infer profile: 2.7 of 68 ms/frame). Param tree is
-    # nn.Conv-compatible either way (TapConv).
+    # serving, where the 3-channel input starves the implicit GEMM (4K
+    # infer profile: 2.7 of 68 ms/frame; its end-to-end A/B LOST — 130.9
+    # vs 69.2 ms/frame, ONCHIP_r05_serving.log §4 — so it stays opt-in).
+    # Param tree is nn.Conv-compatible either way (TapConv).
     stem_mode: str | None = None
     # serving tail: None = the composed path (last upsample block +
     # TapConv conv3), "fused" = the single H-tiled Pallas kernel
@@ -227,9 +228,9 @@ class Generator(nn.Module):
         mode = self._trunk_mode(train, x)
         if not train:
             # eval: auto runs UNFUSED — measured serving winner (xpack_eval
-            # lost its on-chip A/B at the 4K shape, 76.3 vs 70.1 ms/frame:
+            # lost its on-chip A/B at the 4K shape, 76.4 vs 69.2 ms/frame:
             # at batch-1 whole-image sizes the pack relayout + masks cost
-            # more than the lane gain, ONCHIP_r04_serving.log). An EXPLICIT
+            # more than the lane gain, ONCHIP_r05_serving.log §4). An EXPLICIT
             # trunk_mode="xpack" opts eval into xpack_trunk_eval (BN folded
             # into the packed conv weights); the Pallas trunks compute
             # batch stats in-VMEM and have no eval mode at all.

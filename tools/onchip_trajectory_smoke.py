@@ -61,8 +61,8 @@ GATE_GAN5_D = 5e-2    # first-5-step GAN D-loss
 # number is measured on). bf16 activations round each step's losses
 # (~2^-8 relative per op, compounding across steps), so the gates are
 # necessarily looser than the f32 ones; the measured on-chip envelope
-# lives in ONCHIP_r05_trajectory_bf16.log (gates set with ~10x headroom
-# over it). They still catch semantic divergence (wrong trunk /
+# lives in ONCHIP_r05_queue.log (st-bf16 / flagship-bf16 runs: worst
+# gated rel-err 2.8e-3 vs gates set with ~10x headroom). They still catch semantic divergence (wrong trunk /
 # selection / optimizer behavior shows at ~0.5+ within 5 steps).
 GATE_BF16_WARM5 = 4e-2
 GATE_BF16_GAN5_G = 1.5e-1
