@@ -78,7 +78,7 @@ def _kernel(y_ref, wu_ref, bu_ref, w3_ref, out_ref, ywin, tbuf, sems, *,
             PReLU slope broadcast (operand, not closure: it is a traced
             network parameter).
     w3_ref: (3, 2, 3, c2u, n3) — stage-2 doubly-coarse blocks, K=(rx, c).
-    out_ref:(1, th, wc, n3) f32 — quarter-res output block.
+    out_ref:(1, th, wc, n3) cdt — quarter-res output block.
     ywin:   (2, 2*th+6, wp8, 128) VMEM — double-buffered input windows.
     tbuf:   (th+2, 2, wc, c2u) VMEM — stage-1 output, parity-split
             rows (the stage-2 SAME halo cols are padded onto the value).
@@ -170,7 +170,10 @@ def _kernel(y_ref, wu_ref, bu_ref, w3_ref, out_ref, ywin, tbuf, sems, *,
                     slab.reshape(th * wc, c2u), w3_ref[qy, ry, qx],
                     preferred_element_type=jnp.float32,
                 )
-    out_ref[0] = acc2.reshape(th, wc, n3)
+    # emit in the compute dtype: the f32 48-lane block would double the
+    # bytes through the downstream HR permutation (measured pool,
+    # ONCHIP_r05_tail.log profiles)
+    out_ref[0] = acc2.reshape(th, wc, n3).astype(out_ref.dtype)
 
 
 def _pick_tile(hc: int, wc: int, c2u: int, n3: int) -> int | None:
@@ -275,7 +278,7 @@ def serving_tail(y: jnp.ndarray, w_up: jnp.ndarray, b_up: jnp.ndarray,
             pl.BlockSpec((3, 2, 3, c2u, n3), lambda i, j: (0, 0, 0, 0, 0)),
         ],
         out_specs=pl.BlockSpec((1, th, wc, n3), lambda i, j: (i, j, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((b, hc, wc, n3), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((b, hc, wc, n3), cdt),
         scratch_shapes=[
             pltpu.VMEM((2, 2 * th + 6, wp8, 2 * c), cdt),
             pltpu.VMEM((th + 2, 2, wc, c2u), cdt),
@@ -298,7 +301,7 @@ def serving_tail(y: jnp.ndarray, w_up: jnp.ndarray, b_up: jnp.ndarray,
     # (py, px) are the coarse-kernel phases and (ry, rx) the inner ones:
     # HR row = 4*i + 2*ry + py, col = 4*j + 2*rx + px)
     n = w3.shape[-1]
-    zc = z.astype(cdt).reshape(b, hc, wc, n, 2, 2, 2, 2)
+    zc = z.reshape(b, hc, wc, n, 2, 2, 2, 2)
     zc = zc.transpose(0, 1, 6, 4, 2, 7, 5, 3)  # b, hc, ry, py, wc, rx, px, n
     out = zc.reshape(b, 4 * hc, 4 * wc, n)
     return out + b3.astype(cdt)

@@ -387,6 +387,10 @@ class Generator(nn.Module):
 
         from srgan_st_tpu.kernels.serving_tail import serving_tail
 
+        # (an optimization_barrier on x was A/B'd against the upstream
+        # T(2,128) layout poisoning: no effect — it fences fusion, not
+        # layout assignment; 84.3 vs 85.0 ms/frame with the bf16 output
+        # change in the same run, ONCHIP_r05_tail.log)
         up = self.scope.get_variable("params", f"up{i}")
         c3 = self.scope.get_variable("params", "conv3")
         out = serving_tail(
